@@ -1,0 +1,100 @@
+"""Python wrapper for the native MP3 decode front-end.
+
+Produces the host→device manifest: dense per-granule-channel tensors
+(side-info fields, scalefactors, Huffman-decoded spectra) ready for the
+JAX decode back-end.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..native import _inbuf, _lib, _u8p
+
+# Info field indices (keep in sync with _native/mp3dec.cpp).
+FRAME = 0
+GRANULE = 1
+CHANNEL = 2
+GLOBAL_GAIN = 3
+SCALEFAC_SCALE = 4
+PREFLAG = 5
+BLOCK_TYPE = 6
+MIXED = 7
+SBG0 = 8
+SBG1 = 9
+SBG2 = 10
+VERSION = 11
+SR_ROW = 12
+CHANNEL_MODE = 13
+MODE_EXT = 14
+SAMPLE_RATE = 15
+BIG_END = 16
+COUNT1_END = 17
+VALID = 18
+INTENSITY_SCALE = 19
+NCHANNELS = 20
+INFO_N = 24
+
+SCF_SLOTS = 64
+SCF_LONG = 0  # slots 0..22
+SCF_SHORT = 23  # slots 23..61, sfb-major (sfb * 3 + window)
+
+_lib.mg_mp3_unpack.restype = ctypes.c_int64
+_lib.mg_mp3_unpack.argtypes = [
+    _u8p,
+    ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32),
+    ctypes.c_int64,
+]
+
+
+@dataclass
+class UnpackedMp3:
+    """Dense granule-channel tensors for the device decode back-end.
+
+    n = number of granule-channel records, ordered (frame, granule, channel).
+    """
+
+    info: np.ndarray  # (n, INFO_N) int32
+    scf: np.ndarray  # (n, 64) int32
+    spectrum: np.ndarray  # (n, 576) int32
+
+    @property
+    def n(self) -> int:
+        return self.info.shape[0]
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.info[0, SAMPLE_RATE]) if self.n else 0
+
+    @property
+    def n_channels(self) -> int:
+        return int(self.info[0, NCHANNELS]) if self.n else 0
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def unpack_data(data: bytes) -> UnpackedMp3:
+    cap = max(64, len(data) // 40)
+    while True:
+        info = np.zeros((cap, INFO_N), dtype=np.int32)
+        scf = np.zeros((cap, SCF_SLOTS), dtype=np.int32)
+        spectrum = np.zeros((cap, 576), dtype=np.int32)
+        n = _lib.mg_mp3_unpack(
+            _inbuf(data), len(data), _i32p(info), _i32p(scf), _i32p(spectrum), cap
+        )
+        if n <= cap:
+            return UnpackedMp3(info=info[:n], scf=scf[:n], spectrum=spectrum[:n])
+        cap = int(n)
+
+
+def unpack_file(path) -> UnpackedMp3:
+    with open(path, "rb") as f:
+        return unpack_data(f.read())

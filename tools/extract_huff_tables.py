@@ -210,6 +210,29 @@ def emit(tables, quad_codes, quad_bits, band_tables, path):
         f.write("\n".join(out) + "\n")
 
 
+def emit_python(band_tables, path):
+    band_long, band_short, pretab, slen1, slen2, lsf_nsf = band_tables
+    out = [
+        '"""Layer III scalefactor band tables (format constants, generated',
+        'by tools/extract_huff_tables.py — do not edit by hand).',
+        "",
+        "Rows: 44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000.",
+        '"""',
+        "",
+        f"BAND_SIZE_LONG = {band_long!r}",
+        "",
+        f"BAND_SIZE_SHORT = {band_short!r}",
+        "",
+        f"PRETAB = {pretab!r}",
+        "",
+        "SR_ROW = {44100: 0, 48000: 1, 32000: 2, 22050: 3, 24000: 4,",
+        "          16000: 5, 11025: 6, 12000: 7, 8000: 8}",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+
+
 def main():
     tables, quad_codes, quad_bits, huff_data, band_tables = extract()
     # Cross-check the embedded select map against the library's copy
@@ -225,6 +248,7 @@ def main():
     validate_quads(quad_codes, quad_bits)
     path = sys.argv[1] if len(sys.argv) > 1 else "mp3rgain_tpu/_native/huffman_tables.h"
     emit(tables, quad_codes, quad_bits, band_tables, path)
+    emit_python(band_tables, "mp3rgain_tpu/decode/format_tables.py")
     n = sum(len(e) for e in tables.values())
     print(f"wrote {path}: {len(tables)} tables, {n} entries, all Kraft-exact")
 
