@@ -194,8 +194,8 @@ def _stereo(b: GranuleBatch, xr, tb, dtype):
     right = jnp.where(apply_i, kr * x0, right)
 
     out = jnp.zeros_like(xr)
-    out = out.at[0::2].set(left)
-    out = out.at[1::2].set(right)
+    out = out.at[0::2].set(left.astype(xr.dtype))
+    out = out.at[1::2].set(right.astype(xr.dtype))
     return out
 
 

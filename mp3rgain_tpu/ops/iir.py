@@ -1,0 +1,177 @@
+"""Equal-loudness IIR filter as a blocked linear recurrence on device.
+
+The reference filters one sample at a time in float64
+(/root/reference/src/replaygain.rs:586-616). On TPU the recurrence is
+restructured exactly (no approximation) into MXU-friendly pieces:
+
+  1. 11-tap FIR (Yule numerator) + the 1e-10 denormal constant,
+  2. five pure-AR(2) sections (the factored Yule denominator),
+  3. 3-tap FIR (Butterworth numerator) + 1e-10,
+  4. one pure-AR(2) section (Butterworth denominator).
+
+Each AR(2) section runs blockwise: the zero-state response inside a block
+of L samples is a lower-triangular Toeplitz matmul (MXU), the 2-value
+block carry composes with jax.lax.associative_scan, and the homogeneous
+correction re-injects block-initial state — mathematically exact, fully
+parallel over time and batch.
+
+An exact per-sample lax.scan implementation (direct-form I, the
+reference's formulation) is provided as a validation oracle.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .coeffs import DENORMAL_PREVENTION, filter_plan
+
+DEFAULT_BLOCK = 128
+
+
+@lru_cache(maxsize=None)
+def _ar2_kernels(a1: float, a2: float, block: int):
+    """(T_h lower-triangular (L,L), g1 (L,), g2 (L,), M (2,2)) in float64."""
+    L = block
+    h = np.zeros(L + 2)
+    h[0] = 1.0
+    for t in range(1, L + 2):
+        h[t] = -a1 * h[t - 1] - (a2 * h[t - 2] if t >= 2 else 0.0)
+    g1 = np.zeros(L)
+    g2 = np.zeros(L)
+    p1, p2 = 1.0, 0.0  # y_{-1}, y_{-2} = 1, 0
+    q1, q2 = 0.0, 1.0
+    for t in range(L):
+        g1[t] = -a1 * p1 - a2 * p2
+        g2[t] = -a1 * q1 - a2 * q2
+        p1, p2 = g1[t], p1
+        q1, q2 = g2[t], q1
+    th = np.zeros((L, L))
+    for t in range(L):
+        th[t, : t + 1] = h[t::-1][: t + 1]
+    m = np.array([[g1[L - 1], g2[L - 1]], [g1[L - 2], g2[L - 2]]])
+    return th, g1, g2, m
+
+
+def _ar2_apply(f, a1: float, a2: float, block: int):
+    """Apply y_t = f_t - a1 y_{t-1} - a2 y_{t-2} along the last axis of
+    (B, T) exactly, blockwise."""
+    b, t = f.shape
+    L = block
+    nblk = -(-t // L)
+    pad = nblk * L - t
+    fp = jnp.pad(f, ((0, 0), (0, pad)))
+    fb = fp.reshape(b, nblk, L)
+
+    th, g1, g2, m = _ar2_kernels(a1, a2, L)
+    dtype = f.dtype
+    th = jnp.asarray(th, dtype)
+    g1 = jnp.asarray(g1, dtype)
+    g2 = jnp.asarray(g2, dtype)
+    m = jnp.asarray(m, dtype)
+
+    # Zero-state response per block: lower-triangular Toeplitz matmul.
+    y_zs = jnp.einsum("ts,bns->bnt", th, fb, preferred_element_type=dtype)
+
+    # Block carry: s_n = M s_{n-1} + v_n, solved with an associative scan.
+    v = jnp.stack([y_zs[:, :, L - 1], y_zs[:, :, L - 2]], axis=-1)  # (B,N,2)
+    mm = jnp.broadcast_to(m, (b, nblk, 2, 2))
+
+    def combine(lhs, rhs):
+        m1, v1 = lhs
+        m2, v2 = rhs
+        return (
+            jnp.einsum("...ij,...jk->...ik", m2, m1),
+            jnp.einsum("...ij,...j->...i", m2, v1) + v2,
+        )
+
+    _, s = jax.lax.associative_scan(combine, (mm, v), axis=1)
+    # State entering block n is s_{n-1}; block 0 starts from rest.
+    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
+
+    y = y_zs + s_prev[..., 0:1] * g1 + s_prev[..., 1:2] * g2
+    return y.reshape(b, nblk * L)[:, :t]
+
+
+def _fir(x, taps):
+    """Causal FIR along the last axis of (B, T)."""
+    n = len(taps)
+    xp = jnp.pad(x, ((0, 0), (n - 1, 0)))
+    t = x.shape[1]
+    out = jnp.zeros_like(x)
+    for i, c in enumerate(taps):
+        out = out + c * jax.lax.dynamic_slice_in_dim(xp, n - 1 - i, t, axis=1)
+    return out
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "block"))
+def _equal_loudness_jit(x, sample_rate: int, block: int):
+    plan = filter_plan(sample_rate)
+    dtype = x.dtype
+    y = x
+    for i, (b0, b1, b2, a1, a2) in enumerate(plan.sos):
+        y = _fir(y, [dtype.type(b0), dtype.type(b1), dtype.type(b2)])
+        if i == len(plan.sos) - 2:
+            # Denormal-prevention constants of the reference (injected at
+            # the yule output and butter output, src/replaygain.rs:595,608):
+            # preserves the silence-drop histogram behavior.
+            y = y + dtype.type(DENORMAL_PREVENTION)
+        y = _ar2_apply(y, float(a1), float(a2), block)
+    return y + dtype.type(DENORMAL_PREVENTION)
+
+
+def equal_loudness(x, sample_rate: int, block: int = DEFAULT_BLOCK):
+    """Equal-loudness filter along the last axis of (B, T).
+
+    Input must already be scaled to the 16-bit sample range (×32768) as the
+    ReplayGain algorithm expects (reference src/replaygain.rs:943-949).
+    """
+    return _equal_loudness_jit(x, sample_rate, block)
+
+
+# ---------------------------------------------------------------------------
+# Exact per-sample oracle (direct-form I, float64) for validation.
+# ---------------------------------------------------------------------------
+
+
+def equal_loudness_scan(x, sample_rate: int):
+    """Reference-exact direct-form-I implementation via lax.scan (float64)."""
+    from .coeffs import YULE_A
+
+    plan = filter_plan(sample_rate)
+    yb = jnp.asarray(plan.yule_b, jnp.float64)
+    ya = jnp.asarray(np.array(YULE_A[sample_rate]), jnp.float64)
+    bb = jnp.asarray(plan.butter_b, jnp.float64)
+    ba1, ba2 = plan.butter_section
+
+    def step(state, xt):
+        # x history (11,), yule-out history (10,), butter-in (2,), butter-out (2,)
+        xh, yh, bxh, byh = state
+        xh = jnp.concatenate([xt[None], xh[:-1]])
+        yt = DENORMAL_PREVENTION + jnp.dot(yb, xh) - jnp.dot(ya[1:], yh)
+        zt = (
+            DENORMAL_PREVENTION
+            + bb[0] * yt
+            + bb[1] * bxh[0]
+            + bb[2] * bxh[1]
+            - ba1 * byh[0]
+            - ba2 * byh[1]
+        )
+        yh = jnp.concatenate([yt[None], yh[:-1]])
+        return (xh, yh, jnp.stack([yt, bxh[0]]), jnp.stack([zt, byh[0]])), zt
+
+    def run(sig):
+        init = (
+            jnp.zeros(11, jnp.float64),
+            jnp.zeros(10, jnp.float64),
+            jnp.zeros(2, jnp.float64),
+            jnp.zeros(2, jnp.float64),
+        )
+        _, out = jax.lax.scan(step, init, sig)
+        return out
+
+    return jax.vmap(run)(x.astype(jnp.float64))

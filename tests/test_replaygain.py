@@ -1,0 +1,141 @@
+"""ReplayGain DSP tests.
+
+Tier 1 (unit): filter construction for all 12 rates + rejection of
+unsupported rates; 1 kHz sine loudness sanity ranges — ports of the
+reference tests at src/replaygain.rs:1259-1366.
+
+Tier 4 (differential): the f32 device pipeline must match a float64
+reference-exact implementation (per-sample direct-form-I filter +
+per-sample windowing/histogram, identical constants) within the
+±0.05 dB acceptance tolerance — on both our decoder's PCM and the
+libmpg123 oracle's PCM.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp  # noqa: E402
+
+from mp3rgain_tpu import analysis, replaygain  # noqa: E402
+from mp3rgain_tpu.ops import coeffs, histogram as hi, iir  # noqa: E402
+
+
+def reference_analyze_pcm(pcm: np.ndarray, sr: int) -> float:
+    """Float64 reference-exact gain for (C, T) normalized PCM."""
+    x = pcm[:2] * 32768.0
+    filt = np.asarray(iir.equal_loudness_scan(jnp.asarray(x), sr))
+    c, t = filt.shape
+    w = sr * 50 // 1000
+    hist = np.zeros(12000, dtype=np.uint64)
+    l = filt[0]
+    r = filt[1] if c == 2 else filt[0]
+    for start in range(0, t, w):
+        end = min(start + w, t)
+        ms = ((l[start:end] ** 2).sum() + (r[start:end] ** 2).sum()) / (end - start) * 0.5
+        idx = int(100 * 10 * np.log10(ms + 1e-37)) + 2000
+        if 0 <= idx < 12000:
+            hist[idx] += 1
+    return replaygain.PINK_REF - hi.loudness_from_histogram(hist)
+
+
+def test_filter_plan_all_rates():
+    for rate in coeffs.SUPPORTED_RATES:
+        plan = coeffs.filter_plan(rate)
+        assert plan.yule_b.shape == (11,)
+        assert plan.sos.shape == (6, 5)
+    with pytest.raises(ValueError):
+        coeffs.filter_plan(99999)
+
+
+@pytest.mark.parametrize("rate", [r for r in coeffs.SUPPORTED_RATES if r != 88200])
+def test_blocked_filter_matches_scan(rate):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4096)) * 0.3 * 32768.0
+    ref = np.asarray(iir.equal_loudness_scan(jnp.asarray(x), rate))
+    fast = np.asarray(iir.equal_loudness(jnp.asarray(x, jnp.float32), rate))
+    ms_ref = (ref**2).mean()
+    ms_fast = (fast.astype(np.float64) ** 2).mean()
+    assert abs(ms_fast - ms_ref) / ms_ref < 1e-3  # ≈0.004 dB
+
+
+def test_sine_loudness_ranges():
+    # Ports of reference tests (src/replaygain.rs:1296-1365): 1 kHz sine
+    # at 0.5 / 0.1 normalized amplitude through the full DSP chain.
+    sr = 44100
+    t = np.arange(sr) / sr
+    for amp, lo, hi_db in [(0.5, 50.0, 100.0), (0.1, 50.0, 80.0)]:
+        x = amp * 32768.0 * np.sin(2 * np.pi * 1000.0 * t)
+        filt = iir.equal_loudness(jnp.asarray(x[None], jnp.float32), sr)
+        hist = hi.loudness_histogram(filt[None], np.array([sr]), sr)[0]
+        loud = hi.loudness_from_histogram(np.asarray(hist))
+        assert lo < loud < hi_db, (amp, loud)
+
+
+def test_histogram_percentile_semantics():
+    # 20 windows: threshold = ceil(20 * (1.0-0.95)) = 2 (f64 quirk makes
+    # 20*(1.0-0.95) slightly > 1), so readout takes the 2nd bin from top.
+    hist = np.zeros(12000, dtype=np.uint64)
+    hist[5000] = 19
+    hist[6000] = 1
+    assert hi.loudness_from_histogram(hist) == (5000 - 2000) / 100.0
+    # Empty histogram defaults to -20 (reference src/replaygain.rs:667-668).
+    assert hi.loudness_from_histogram(np.zeros(12000, np.uint64)) == -20.0
+
+
+def test_silence_windows_dropped():
+    x = jnp.zeros((1, 44100), jnp.float32)
+    filt = iir.equal_loudness(x, 44100)
+    hist = hi.loudness_histogram(filt[None], np.array([44100]), 44100)[0]
+    assert int(np.asarray(hist).sum()) == 0  # negative bins are dropped
+
+
+FIXTURES = [
+    "test_stereo.mp3",
+    "test_mono.mp3",
+    "test_joint_stereo.mp3",
+    "test_vbr.mp3",
+    "test_mpeg2_22050.mp3",
+    "test_mpeg25_11025.mp3",
+]
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_track_gain_matches_reference_oracle(fixtures_dir, name):
+    from mp3rgain_tpu.decode import synthesis
+    from mp3rgain_tpu.testing import mpg123
+
+    path = fixtures_dir / name
+    mine = analysis.analyze_track_internal(path).result
+
+    pcm64, sr = synthesis.decode_file(path, dtype=jnp.float64)
+    oracle = reference_analyze_pcm(np.asarray(pcm64), sr)
+    assert abs(mine.gain_db - oracle) <= 0.05, (mine.gain_db, oracle)
+
+    ref_pcm, sr2 = mpg123.decode_file(path)
+    oracle_mpg = reference_analyze_pcm(ref_pcm.T.astype(np.float64), sr2)
+    assert abs(mine.gain_db - oracle_mpg) <= 0.05, (mine.gain_db, oracle_mpg)
+
+
+def test_album_gain_union_histogram(fixtures_dir):
+    files = [fixtures_dir / n for n in ("test_mono.mp3", "test_joint_stereo.mp3")]
+    album = analysis.analyze_album(files)
+    assert len(album.tracks) == 2
+    assert album.album_peak == max(t.peak for t in album.tracks)
+    # Union histogram: the album loudness comes from combined windows, and
+    # must lie within the per-track loudness range.
+    louds = sorted(t.loudness_db for t in album.tracks)
+    assert louds[0] - 0.05 <= album.album_loudness_db <= louds[1] + 0.05
+
+
+def test_public_api(fixtures_dir):
+    assert replaygain.is_available()
+    res = replaygain.analyze_track(fixtures_dir / "test_mono.mp3")
+    assert res.sample_rate == 44100
+    assert res.file_type == "mp3"
+    assert isinstance(res.gain_steps(), int)
+    peak = replaygain.find_peak_amplitude(fixtures_dir / "test_mono.mp3")
+    assert peak.peak_pcm == pytest.approx(peak.peak * 32768.0)
+    with pytest.raises(Exception):
+        replaygain.analyze_track_with_index(fixtures_dir / "test_mono.mp3", 3)
