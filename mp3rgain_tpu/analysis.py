@@ -13,15 +13,16 @@ path used by the CLI for small file sets.
 from __future__ import annotations
 
 import os
+from functools import lru_cache, partial
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from . import mp4meta
-from .decode import frontend, synthesis
+from .decode import frontend
 from .ops import histogram as hi
-from .ops import iir
 from .replaygain import (
     AlbumGainResult,
     PINK_REF,
@@ -39,26 +40,44 @@ class AnalysisError(RuntimeError):
 
 
 class TrackAnalysisInternal:
-    def __init__(self, result: ReplayGainResult, hist: np.ndarray):
+    def __init__(self, result: ReplayGainResult, hist):
         self.result = result
-        self.histogram = hist
+        self.histogram = hist  # (12000,) int32, device array
 
 
 def _detect_file_type(path) -> str:
     return "aac" if mp4meta.is_mp4_file(path) else "mp3"
 
 
-def _decode_for_analysis(path, dtype):
-    file_type = _detect_file_type(path)
-    if file_type == "aac":
-        from . import aac
+@lru_cache(maxsize=None)
+def _single_track_fn(n_channels: int, sample_rate: int, dtype):
+    from .parallel.runner import _analysis_core
 
-        pcm, sr = aac.decode_file(path, dtype=dtype)
-    else:
-        pcm, sr = synthesis.decode_file(path, dtype=dtype)
-    if sr == 0 or pcm.shape[1] == 0:
-        raise AnalysisError(f"No decodable audio in {path}")
-    return pcm, sr, file_type
+    return jax.jit(
+        partial(
+            _analysis_core,
+            n_channels=n_channels,
+            sample_rate=sample_rate,
+            dtype=dtype,
+        )
+    )
+
+
+def _analyze_mp3_on_device(path, dtype):
+    """Whole-track device pipeline; only scalars return to host."""
+    from .parallel.runner import prepare_batch_arrays
+
+    u = frontend.unpack_file(path)
+    if u.n == 0:
+        raise AnalysisError("No valid MP3 frames found")
+    sr, nch = u.sample_rate, u.n_channels
+    args = prepare_batch_arrays([u], nch)
+    fn = _single_track_fn(nch, sr, dtype)
+    hist, loud_idx, peak = fn(*args)
+    stats = np.asarray(
+        jnp.stack([loud_idx[0].astype(jnp.float32), peak[0].astype(jnp.float32)])
+    )
+    return hist[0], hi.index_to_loudness(stats[0]), float(stats[1]), sr
 
 
 def analyze_track_internal(
@@ -70,25 +89,16 @@ def analyze_track_internal(
         raise AnalysisError(
             f"Track index {track_index} out of range (file has 1 audio track(s))"
         )
-    pcm, sr, file_type = _decode_for_analysis(path, dtype)
+    file_type = _detect_file_type(path)
+    if file_type == "aac":
+        from . import aac
 
-    # Peak in normalized units over the analysis channels (ch0/ch1 only,
-    # reference src/replaygain.rs:961-1023).
-    ch = pcm[:2]
-    peak = float(np.abs(np.asarray(ch)).max())
+        return aac.analyze_track_internal(path, dtype=dtype)
 
-    x = jnp.asarray(np.asarray(ch), dtype) * SAMPLE_SCALE_16BIT
-    filtered = iir.equal_loudness(x, sr)
-    hist = hi.loudness_histogram(
-        filtered[None], np.array([filtered.shape[-1]]), sr
-    )[0]
-    hist = np.asarray(hist)
-
-    loudness_db = hi.loudness_from_histogram(hist)
-    gain_db = PINK_REF - loudness_db
+    hist, loudness_db, peak, sr = _analyze_mp3_on_device(path, dtype)
     result = ReplayGainResult(
         loudness_db=loudness_db,
-        gain_db=gain_db,
+        gain_db=PINK_REF - loudness_db,
         peak=peak,
         sample_rate=sr,
         file_type=file_type,
@@ -99,17 +109,18 @@ def analyze_track_internal(
 def analyze_album(files, track_index: int | None = None, dtype=jnp.float32) -> AlbumGainResult:
     """Sequential album analysis: union histogram (duration-weighted), peak
     max — mirrors reference analyze_album_with_index
-    (src/replaygain.rs:1044-1074). The data-parallel mesh version is in
-    mp3rgain_tpu.parallel.runner."""
+    (src/replaygain.rs:1044-1074). Histograms accumulate on device; the
+    data-parallel mesh version is in mp3rgain_tpu.parallel.runner."""
     tracks = []
     album_peak = 0.0
-    album_hist = np.zeros(hi.HISTOGRAM_SIZE, dtype=np.uint64)
+    album_hist = None
     for f in files:
         internal = analyze_track_internal(f, track_index, dtype=dtype)
         album_peak = max(album_peak, internal.result.peak)
-        album_hist += internal.histogram.astype(np.uint64)
+        h = jnp.asarray(internal.histogram)
+        album_hist = h if album_hist is None else album_hist + h
         tracks.append(internal.result)
-    album_loudness = hi.loudness_from_histogram(album_hist)
+    album_loudness = float(hi.loudness_from_histogram_device(album_hist[None])[0])
     return AlbumGainResult(
         tracks=tracks,
         album_loudness_db=album_loudness,
@@ -123,6 +134,9 @@ def find_peak_amplitude(path: os.PathLike | str, dtype=jnp.float32) -> PeakAmpli
 
     Unlike the reference's decoder (which clips at ±1.0), the TPU decode
     path reports the true unclipped peak — matching original mp3gain."""
-    pcm, sr, _ = _decode_for_analysis(path, dtype)
-    peak = float(np.abs(np.asarray(pcm)).max())
+    if _detect_file_type(path) == "aac":
+        from . import aac
+
+        return aac.find_peak_amplitude(path, dtype=dtype)
+    _, _, peak, sr = _analyze_mp3_on_device(path, dtype)
     return PeakAmplitudeResult(peak=peak, peak_pcm=peak * SAMPLE_SCALE_16BIT, sample_rate=sr)

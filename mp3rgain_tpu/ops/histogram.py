@@ -80,6 +80,35 @@ def loudness_histogram(filtered, valid_len, sample_rate: int):
     return _histogram_jit(filtered, jnp.asarray(valid_len), window_size(sample_rate))
 
 
+@jax.jit
+def loudness_index_device(hist):
+    """Device-side 95th-percentile readout, (B, 12000) int32 -> (B,) int32
+    histogram bin index (-1 for an empty histogram).
+
+    Exactly equivalent to the host readout: the reference threshold
+    ceil(total * (1.0 - 0.95)) — where fl(1.0 - 0.95) > 1/20 by ~4.4e-17 —
+    equals total // 20 + 1 for every attainable total, so the quirky f64
+    arithmetic reduces to pure integer math (proven in tests against the
+    host implementation). The dB conversion happens on host in float64.
+    """
+    total = hist.sum(axis=1)
+    threshold = total // 20 + 1
+    rev = jnp.cumsum(hist[:, ::-1], axis=1)
+    k = jnp.argmax(rev >= threshold[:, None], axis=1)
+    idx = HISTOGRAM_SIZE - 1 - k
+    return jnp.where(total > 0, idx, -1).astype(jnp.int32)
+
+
+def index_to_loudness(idx: int) -> float:
+    return -20.0 if idx < 0 else (int(idx) - HISTOGRAM_OFFSET) / STEPS_PER_DB
+
+
+def loudness_from_histogram_device(hist):
+    """Convenience wrapper: (B, 12000) device histograms -> (B,) host floats."""
+    idx = np.asarray(loudness_index_device(hist))
+    return np.array([index_to_loudness(i) for i in idx])
+
+
 def loudness_from_histogram(hist: np.ndarray) -> float:
     """95th-percentile loudness readout (host, reference-exact arithmetic)."""
     hist = np.asarray(hist, dtype=np.uint64)

@@ -1,0 +1,372 @@
+"""Data-parallel batch ReplayGain analysis over a device mesh.
+
+The workload is embarrassingly parallel over tracks until the album
+reduction (SURVEY.md §2.6): tracks are bucketed by (sample_rate,
+n_channels, padded granule count), decoded and analyzed in batches on
+device, sharded over a 1-D "dp" mesh axis with jax.shard_map. The album
+histogram merge is a jax.lax.psum over the mesh — the device-side
+equivalent of the reference's LoudnessHistogram::accumulate
+(/root/reference/src/replaygain.rs:1053-1066); album peak reduces with
+lax.pmax semantics (max + psum of per-shard maxima).
+
+Per-file fault isolation (reference src/main.rs:1603-1615): a track that
+fails host unpack is reported as an error and masked out of its batch
+lane; it cannot poison the scan.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..decode import frontend as fe
+from ..decode import synthesis
+from ..ops import histogram as hi
+from ..ops import iir
+from ..replaygain import PINK_REF, ReplayGainResult
+
+SAMPLE_SCALE_16BIT = 32768.0
+
+
+# ---------------------------------------------------------------------------
+# Device pipeline: granule tensors -> (histogram, peak) per track.
+# ---------------------------------------------------------------------------
+
+
+def _derive_fields(spectrum, scf, info, *, n_channels: int):
+    """Device-side expansion of the packed info tensor into decode fields."""
+    kind = info[..., fe.BLOCK_TYPE]
+    kind = jnp.where((kind == 2) & (info[..., fe.MIXED] == 1), 4, kind)
+    rzero = jnp.maximum(info[..., fe.BIG_END], info[..., fe.COUNT1_END])
+    if n_channels == 2:
+        g = rzero.shape[-1]
+        swap = jnp.arange(g) ^ 1  # partner channel (records are ch-paired)
+        rz = rzero[..., swap]
+    else:
+        rz = rzero
+    joint = (info[..., fe.CHANNEL_MODE] == 1).astype(jnp.int32)
+    ms = joint * ((info[..., fe.MODE_EXT] & 2) >> 1)
+    istereo = joint * (info[..., fe.MODE_EXT] & 1)
+    sbg = jnp.stack(
+        [info[..., fe.SBG0], info[..., fe.SBG1], info[..., fe.SBG2]], axis=-1
+    )
+    return (
+        spectrum, scf, kind, info[..., fe.SR_ROW], info[..., fe.GLOBAL_GAIN],
+        info[..., fe.SCALEFAC_SCALE], info[..., fe.PREFLAG], sbg,
+        info[..., fe.BLOCK_TYPE], info[..., fe.MIXED], ms, istereo,
+        (info[..., fe.VERSION] != 1).astype(jnp.int32),
+        info[..., fe.INTENSITY_SCALE], rz,
+    )
+
+
+def _unpack_spectrum(spec_i8, esc_idx, esc_val):
+    """Reconstruct (B, G, 576) int32 spectra from the compact transfer form.
+
+    spec_i8 holds values clipped to int8 over the trimmed extent; escapes
+    (|v| > 127) arrive as a sparse (index, value) sideband. Padding escape
+    slots point at a dummy column (=576).
+    """
+    b, g, ext = spec_i8.shape
+    spec = spec_i8.astype(jnp.int32)
+    spec = jnp.pad(spec, ((0, 0), (0, 0), (0, 576 - ext + 1)))
+    bi = jnp.arange(b)[:, None, None]
+    gi = jnp.arange(g)[None, :, None]
+    spec = spec.at[bi, gi, esc_idx.astype(jnp.int32)].set(
+        esc_val.astype(jnp.int32)
+    )
+    return spec[..., :576]
+
+
+def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
+                   *, n_channels: int, sample_rate: int, dtype):
+    """Single-shard batched pipeline. Leading dim = local batch of tracks.
+
+    Inputs are the compact host→device manifest: spec_i8 (B, G, EXT) int8
+    + escape sideband (B, G, E) int16 pairs, scf (B, G, 64) int8,
+    info (B, G, INFO_N) int32, valid_samples (B,).
+    """
+    spectrum = _unpack_spectrum(spec_i8, esc_idx, esc_val)
+    fields = _derive_fields(spectrum, scf, info, n_channels=n_channels)
+
+    def one(args):
+        return synthesis._decode_jit(
+            *args, n_channels=n_channels, dtype=dtype
+        )
+
+    pcm = jax.vmap(one)(fields)  # (B, C, N)
+
+    bsz, c, n = pcm.shape
+    sample_idx = jnp.arange(n)
+    peak_mask = (sample_idx[None, None, :] < valid_samples[:, None, None])
+    peak = jnp.max(jnp.abs(pcm) * peak_mask, axis=(1, 2))  # (B,)
+
+    x = pcm.reshape(bsz * c, n).astype(dtype) * dtype(SAMPLE_SCALE_16BIT)
+    filtered = iir.equal_loudness(x, sample_rate).reshape(bsz, c, n)
+    hist = hi._histogram_jit(filtered, valid_samples, hi.window_size(sample_rate))
+    loud_idx = hi.loudness_index_device(hist)
+    return hist, loud_idx, peak
+
+
+def prepare_batch_arrays(
+    unpacked: list[fe.UnpackedMp3], n_channels: int, pad_batch_to: int = 1
+):
+    """Pack tracks into padded device-ready arrays for _analysis_core.
+
+    Uses narrow transfer dtypes: huffman values fit int16 (|x| <= 15 + 2^13),
+    scalefactors fit int8. Returns the positional arg tuple of
+    _analysis_core (..., valid_samples)."""
+    bsz = len(unpacked)
+    g_max = max(u.n for u in unpacked)
+    # Pad G to a multiple of 2*n_channels so time reshapes stay valid.
+    unit = 2 * n_channels
+    g_max = -(-g_max // unit) * unit
+    bpad = -(-bsz // pad_batch_to) * pad_batch_to
+
+    def pad_tracks(get, shape_tail, dtype=np.int32):
+        out = np.zeros((bpad, g_max) + shape_tail, dtype=dtype)
+        for i, u in enumerate(unpacked):
+            a = get(u)
+            out[i, : a.shape[0]] = a
+        return out
+
+    info = pad_tracks(lambda u: u.info, (fe.INFO_N,))
+    spectrum = pad_tracks(lambda u: u.spectrum, (576,), dtype=np.int16)
+    scf = pad_tracks(lambda u: u.scf, (64,), dtype=np.int8)
+    valid_samples = np.array(
+        [u.n // n_channels * 576 for u in unpacked] + [0] * (bpad - bsz),
+        dtype=np.int32,
+    )
+
+    # Compact transfer form: trim to the nonzero spectral extent (rounded
+    # to keep the jit-shape population small), clip to int8, and ship the
+    # rare |v| > 127 escapes as a sparse sideband. Host→device bandwidth is
+    # the scan bottleneck; this roughly quarters the bytes per track.
+    rzero = np.maximum(info[:, :, fe.BIG_END], info[:, :, fe.COUNT1_END])
+    ext = min(576, max(96, int(-(-int(rzero.max()) // 96) * 96)))
+    spec_t = spectrum[:, :, :ext]
+    flat = spec_t.reshape(-1, ext)
+    mask = np.abs(flat) > 127
+    counts = mask.sum(axis=1)
+    n_esc = max(4, int(-(-max(int(counts.max()), 1) // 4) * 4))
+    esc_idx = np.full((flat.shape[0], n_esc), 576, dtype=np.int16)
+    esc_val = np.zeros((flat.shape[0], n_esc), dtype=np.int16)
+    rows, cols = np.nonzero(mask)
+    if len(rows):
+        pos = np.arange(len(rows)) - np.repeat(np.cumsum(counts) - counts, counts)
+        esc_idx[rows, pos] = cols
+        esc_val[rows, pos] = flat[rows, cols]
+    spec_i8 = np.clip(spec_t, -127, 127).astype(np.int8)
+    g_max = spectrum.shape[1]
+    esc_idx = esc_idx.reshape(bpad, g_max, n_esc)
+    esc_val = esc_val.reshape(bpad, g_max, n_esc)
+    return (spec_i8, esc_idx, esc_val, scf, info, valid_samples)
+
+
+# ---------------------------------------------------------------------------
+# Mesh runner
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrackOutcome:
+    path: str
+    ok: bool
+    error: str | None = None
+    result: ReplayGainResult | None = None
+    histogram: np.ndarray | None = None
+
+
+@dataclass
+class BatchResult:
+    tracks: list[TrackOutcome]
+    audio_seconds: float
+    wall_seconds: float
+    album_histogram: np.ndarray | None = None
+    album_peak: float = 0.0
+
+    @property
+    def realtime_factor(self) -> float:
+        return self.audio_seconds / max(self.wall_seconds, 1e-9)
+
+
+class MeshRunner:
+    """Batched analysis over a 1-D data-parallel device mesh."""
+
+    def __init__(self, mesh: Mesh | None = None, dtype=jnp.float32,
+                 max_batch: int = 64):
+        if mesh is None:
+            devices = np.array(jax.devices())
+            mesh = Mesh(devices, axis_names=("dp",))
+        self.mesh = mesh
+        self.dtype = dtype
+        self.max_batch = max_batch
+        self.n_devices = int(np.prod(mesh.devices.shape))
+        self._jitted = {}
+
+    def _pipeline(self, n_channels: int, sample_rate: int):
+        key = (n_channels, sample_rate)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        core = partial(
+            _analysis_core,
+            n_channels=n_channels,
+            sample_rate=sample_rate,
+            dtype=self.dtype,
+        )
+        if self.n_devices == 1:
+            # Plain jit on a single device: shard_map adds a multi-second
+            # per-call overhead on tunneled single-chip runtimes.
+            run = jax.jit(core)
+        else:
+            spec_b = P("dp")
+
+            @partial(jax.jit)
+            def run(*args):
+                shard = jax.shard_map(
+                    lambda *a: core(*a),
+                    mesh=self.mesh,
+                    in_specs=tuple(spec_b for _ in args),
+                    out_specs=(spec_b, spec_b, spec_b),
+                )
+                return shard(*args)
+
+        self._jitted[key] = run
+        return run
+
+    def _album_reduce(self):
+        """Device-side album reduction: histogram psum + peak max."""
+        mesh = self.mesh
+
+        @jax.jit
+        def reduce_fn(hist, peak):
+            def shard(h, p):
+                local_h = jnp.sum(h, axis=0, dtype=jnp.uint32)
+                local_p = jnp.max(p)
+                total_h = jax.lax.psum(local_h, axis_name="dp")
+                total_p = jax.lax.pmax(local_p, axis_name="dp")
+                return total_h[None], total_p[None]
+
+            h, p = jax.shard_map(
+                shard, mesh=mesh,
+                in_specs=(P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp")),
+            )(hist, peak)
+            return h[0], p[0]
+
+        return reduce_fn
+
+    def analyze_unpacked(
+        self, unpacked: list[fe.UnpackedMp3], sample_rate: int, n_channels: int
+    ):
+        """Analyze same-format tracks.
+
+        Returns (hist_device (B,12000) int32 on device, loudness (B,) np,
+        peak (B,) np). Histograms stay on device — device→host readback is
+        the expensive direction on tunneled accelerators, and only the
+        album reduction ever needs histogram contents (and it runs on
+        device too)."""
+        bsz = len(unpacked)
+        args = prepare_batch_arrays(unpacked, n_channels, self.n_devices)
+        if self.n_devices == 1:
+            dev_args = jax.device_put(args)
+        else:
+            sharding = NamedSharding(self.mesh, P("dp"))
+            dev_args = [jax.device_put(a, sharding) for a in args]
+        run = self._pipeline(n_channels, sample_rate)
+        hist, loud_idx, peak = run(*dev_args)
+        # Only the small per-track scalars come back to host.
+        stats = np.asarray(
+            jnp.concatenate(
+                [loud_idx[:bsz].astype(jnp.float32), peak[:bsz].astype(jnp.float32)]
+            )
+        )
+        louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
+        return hist[:bsz], louds, stats[bsz:]
+
+    def album_reduce_device(self, hist: np.ndarray, peak: np.ndarray):
+        """psum album histogram + pmax peak over the mesh."""
+        bsz = hist.shape[0]
+        bpad = -(-bsz // self.n_devices) * self.n_devices
+        hist_p = np.zeros((bpad, hi.HISTOGRAM_SIZE), dtype=hist.dtype)
+        hist_p[:bsz] = hist
+        peak_p = np.zeros(bpad, dtype=np.float32)
+        peak_p[:bsz] = peak
+        sharding = NamedSharding(self.mesh, P("dp"))
+        h = jax.device_put(jnp.asarray(hist_p), sharding)
+        p = jax.device_put(jnp.asarray(peak_p), sharding)
+        total_h, total_p = self._album_reduce()(h, p)
+        return np.asarray(total_h), float(total_p)
+
+
+def analyze_library(
+    paths,
+    runner: MeshRunner | None = None,
+    album: bool = False,
+    dtype=jnp.float32,
+) -> BatchResult:
+    """Analyze many tracks with bucketed batching and fault isolation."""
+    runner = runner or MeshRunner(dtype=dtype)
+    t0 = time.monotonic()
+
+    outcomes: dict[int, TrackOutcome] = {}
+    buckets: dict[tuple[int, int], list[tuple[int, fe.UnpackedMp3]]] = {}
+    audio_seconds = 0.0
+
+    for i, path in enumerate(paths):
+        try:
+            u = fe.unpack_file(path)
+            if u.n == 0:
+                raise RuntimeError("No valid MP3 frames found")
+            sr, nch = u.sample_rate, u.n_channels
+            buckets.setdefault((sr, nch), []).append((i, u))
+            audio_seconds += (u.n // nch) * 576 / sr
+        except Exception as e:  # per-file isolation
+            outcomes[i] = TrackOutcome(path=str(path), ok=False, error=str(e))
+
+    album_hist_dev = None
+    for (sr, nch), members in buckets.items():
+        for start in range(0, len(members), runner.max_batch):
+            chunk = members[start : start + runner.max_batch]
+            idxs = [i for i, _ in chunk]
+            ups = [u for _, u in chunk]
+            hist_dev, louds, peaks = runner.analyze_unpacked(ups, sr, nch)
+            if album:
+                batch_sum = jnp.sum(hist_dev, axis=0)
+                album_hist_dev = (
+                    batch_sum if album_hist_dev is None else album_hist_dev + batch_sum
+                )
+            for j, i in enumerate(idxs):
+                loud = float(louds[j])
+                outcomes[i] = TrackOutcome(
+                    path=str(paths[i]),
+                    ok=True,
+                    result=ReplayGainResult(
+                        loudness_db=loud,
+                        gain_db=PINK_REF - loud,
+                        peak=float(peaks[j]),
+                        sample_rate=sr,
+                        file_type="mp3",
+                    ),
+                    histogram=hist_dev[j],
+                )
+
+    tracks = [outcomes[i] for i in range(len(paths))]
+    result = BatchResult(
+        tracks=tracks,
+        audio_seconds=audio_seconds,
+        wall_seconds=time.monotonic() - t0,
+    )
+
+    if album and album_hist_dev is not None:
+        ok = [t for t in tracks if t.ok]
+        result.album_histogram = np.asarray(album_hist_dev)
+        result.album_peak = max(t.result.peak for t in ok)
+    return result

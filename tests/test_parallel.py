@@ -1,0 +1,94 @@
+"""Mesh runner tests: data-parallel batch analysis + psum album reduction
+on the 8-device virtual CPU mesh (conftest forces CPU platform)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from mp3rgain_tpu import analysis  # noqa: E402
+from mp3rgain_tpu.ops import histogram as hi  # noqa: E402
+from mp3rgain_tpu.parallel import MeshRunner, analyze_library  # noqa: E402
+from mp3rgain_tpu.replaygain import PINK_REF  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def album_dir(tmp_path_factory):
+    from mp3rgain_tpu.testing import fixtures
+
+    src = fixtures.generate_standard_fixtures(tmp_path_factory.mktemp("src"))
+    out = tmp_path_factory.mktemp("album")
+    paths = []
+    for i in range(12):
+        name = "test_joint_stereo.mp3" if i % 2 else "test_vbr.mp3"
+        dst = out / f"track{i:02d}.mp3"
+        shutil.copy(src / name, dst)
+        paths.append(dst)
+    return paths
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_device_loudness_matches_host():
+    rng = np.random.default_rng(3)
+    for total_target in (1, 19, 20, 21, 40, 1000):
+        hist = np.zeros(12000, dtype=np.int32)
+        bins = rng.integers(1000, 9000, size=total_target)
+        for b in bins:
+            hist[b] += 1
+        host = hi.loudness_from_histogram(hist.astype(np.uint64))
+        dev = float(hi.loudness_from_histogram_device(jnp.asarray(hist)[None])[0])
+        assert host == pytest.approx(dev), total_target
+
+
+def test_batch_matches_sequential(album_dir):
+    res = analyze_library(album_dir, album=True)
+    assert all(t.ok for t in res.tracks)
+    seq = analysis.analyze_album(album_dir)
+    for t, s in zip(res.tracks, seq.tracks):
+        assert t.result.gain_db == pytest.approx(s.gain_db, abs=1e-9)
+        assert t.result.peak == pytest.approx(s.peak, abs=1e-6)
+    album_loud = hi.loudness_from_histogram(res.album_histogram.astype(np.uint64))
+    assert PINK_REF - album_loud == pytest.approx(seq.album_gain_db, abs=1e-9)
+    assert res.album_peak == pytest.approx(seq.album_peak, abs=1e-6)
+
+
+def test_fault_isolation(album_dir, tmp_path):
+    bad = tmp_path / "corrupt.mp3"
+    bad.write_bytes(b"not an mp3 at all" * 10)
+    paths = list(album_dir[:3]) + [bad]
+    res = analyze_library(paths)
+    assert [t.ok for t in res.tracks] == [True, True, True, False]
+    assert res.tracks[3].error
+
+
+def test_explicit_psum_album_reduce(album_dir):
+    runner = MeshRunner()
+    res = analyze_library(album_dir[:8], runner=runner, album=True)
+    hists = np.stack([np.asarray(t.histogram) for t in res.tracks])
+    peaks = np.array([t.result.peak for t in res.tracks], dtype=np.float32)
+    total_h, total_p = runner.album_reduce_device(hists, peaks)
+    assert np.array_equal(np.asarray(total_h), hists.sum(axis=0).astype(np.uint32))
+    assert total_p == pytest.approx(peaks.max())
+
+
+def test_graft_entry_points():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    fn, args = m.entry()
+    hist, loud, peak = jax.jit(fn)(*args)
+    assert hist.shape == (4, 12000)
+    assert loud.shape == (4,)
+    m.dryrun_multichip(8)
+    m.dryrun_multichip(4)
