@@ -30,8 +30,9 @@ import numpy as np
 BASELINE_AUDIO_HOURS_PER_SEC = 5000.0 / 3600.0
 
 TRACK_SECONDS = 60
-BATCH_TRACKS = 8
+BATCH_TRACKS = 64
 ITERS = 8
+WARMUP_ITERS = 2
 
 
 def _make_track_mp3(seconds: int) -> bytes:
@@ -84,25 +85,42 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
-    fn = jax.jit(partial(_analysis_core, n_channels=nch, sample_rate=sr,
-                         dtype=jnp.float32))
+    core = partial(_analysis_core, n_channels=nch, sample_rate=sr,
+                   dtype=jnp.float32)
+
+    def perturbed(bump, spec_i8, *rest):
+        return core(spec_i8 + (bump % 29).astype(jnp.int8), *rest)
+
+    fn = jax.jit(perturbed)
     audio_seconds = audio_sec_per_track * BATCH_TRACKS
 
-    # Warmup / compile.
-    out = fn(*dev_args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    # Measurement protocol, validated against this runtime's quirks:
+    # - every iteration perturbs the spectrum through a chained data
+    #   dependency (iteration i consumes iteration i-1's output), so the
+    #   executions are serialized on device and no layer can serve
+    #   memoized results for repeated inputs;
+    # - a host readback of the final chained value sits INSIDE the timed
+    #   region: on this runtime block_until_ready can return before
+    #   execution completes, so only a value readback truly synchronizes;
+    # - warmup absorbs compile + first-execution setup.
+    import random
 
-    # Chain a data dependency through each iteration (valid_i depends on
-    # iteration i-1's peak output) so no runtime layer can memoize results
-    # or overlap iterations — each step truly re-executes on device.
-    valid0 = dev_args[-1]
-    prev_peak = out[2]
+    salt = random.randrange(1, 1 << 20)
+
+    def step(prev_out, i):
+        bump = (prev_out[2][:1] * 0).astype(jnp.int32)[0] + salt + i
+        return fn(bump, *dev_args)
+
+    out = fn(jnp.int32(salt - 1), *dev_args)
+    float(out[2][0])  # true sync
+    for i in range(WARMUP_ITERS):
+        out = step(out, 1000 + i)
+    float(out[2][0])
+
     t0 = time.monotonic()
     for i in range(ITERS):
-        valid = valid0 - (prev_peak[:BATCH_TRACKS] * 0).astype(jnp.int32) - i
-        out = fn(*dev_args[:-1], valid)
-        prev_peak = out[2]
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        out = step(out, i)
+    float(out[2][0])  # forces completion of the whole chain
     wall = (time.monotonic() - t0) / ITERS
 
     rtf = audio_seconds / wall

@@ -7,6 +7,15 @@ Pipeline (all jit-compatible, static shapes per call):
 
 Replaces the DSP stage of the reference's external decoder
 (symphonia-bundle-mp3; used at /root/reference/src/replaygain.rs:804-904).
+
+TPU-first design notes: the sample-rate band-table row is a static
+compile-time parameter (batches are bucketed by sample rate), so every
+per-sample table lookup is either a structural slice/select or a small
+one-hot matmul on the MXU. There are NO dynamic gathers or scatters in
+this path — on TPU those lower to serial while-loops and dominated early
+profiles by 100x. Alias reduction is pure slicing/flip arithmetic, the
+IMDCT is four (G*32, 18)@(18, 36) GEMMs selected by block-type mask, and
+the polyphase dewindowing is a 16-tap feature conv.
 """
 
 from __future__ import annotations
@@ -20,9 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import frontend as fe
-from .tables import build_tables
-
-_KIND_FROM_BT = None
+from .tables import CLASS_OF_KIND, build_tables, row_tables
 
 
 def _block_kind(info: np.ndarray) -> np.ndarray:
@@ -42,21 +49,21 @@ class GranuleBatch:
     records in (time, channel) order: g = t * n_channels + ch.
     """
 
-    spectrum: jnp.ndarray  # (G, 576) int32
-    scf: jnp.ndarray  # (G, 64) int32
+    spectrum: jnp.ndarray  # (G, 576) int
+    scf: jnp.ndarray  # (G, 64) int
     kind: jnp.ndarray  # (G,) int32 0..4
-    sr_row: jnp.ndarray  # (G,) int32 0..8
-    global_gain: jnp.ndarray  # (G,)
-    scalefac_scale: jnp.ndarray  # (G,)
-    preflag: jnp.ndarray  # (G,)
+    sr_row: jnp.ndarray  # (G,) int32 (uniform; the static row is authoritative)
+    global_gain: jnp.ndarray
+    scalefac_scale: jnp.ndarray
+    preflag: jnp.ndarray
     subblock_gain: jnp.ndarray  # (G, 3)
-    block_type: jnp.ndarray  # (G,)
-    mixed: jnp.ndarray  # (G,)
-    ms_flag: jnp.ndarray  # (G,) 1 where MS stereo active
-    is_flag: jnp.ndarray  # (G,) 1 where intensity stereo active
-    lsf: jnp.ndarray  # (G,) 1 for MPEG2/2.5
-    intensity_scale: jnp.ndarray  # (G,)
-    rzero_other: jnp.ndarray  # (G,) partner channel's nonzero bound
+    block_type: jnp.ndarray
+    mixed: jnp.ndarray
+    ms_flag: jnp.ndarray
+    is_flag: jnp.ndarray
+    lsf: jnp.ndarray
+    intensity_scale: jnp.ndarray
+    rzero_other: jnp.ndarray
     n_channels: int
 
 
@@ -65,13 +72,10 @@ def batch_from_unpacked(u: fe.UnpackedMp3, dtype=jnp.float32) -> GranuleBatch:
     nch = u.n_channels or 1
     kind = _block_kind(info)
     rzero = np.maximum(info[:, fe.BIG_END], info[:, fe.COUNT1_END])
-    # Partner channel's rzero (for the intensity border); self for mono.
     rz = rzero.copy()
     if nch == 2:
-        rz0 = rzero[0::2]
-        rz1 = rzero[1::2]
-        rz[0::2] = rz1
-        rz[1::2] = rz0
+        rz[0::2] = rzero[1::2]
+        rz[1::2] = rzero[0::2]
     joint = (info[:, fe.CHANNEL_MODE] == 1).astype(np.int32)
     ms = joint * ((info[:, fe.MODE_EXT] & 2) >> 1)
     istereo = joint * (info[:, fe.MODE_EXT] & 1)
@@ -95,133 +99,203 @@ def batch_from_unpacked(u: fe.UnpackedMp3, dtype=jnp.float32) -> GranuleBatch:
     )
 
 
-def _tables_for(dtype):
-    t = build_tables()
-    as_f = lambda a: jnp.asarray(a, dtype=dtype)  # noqa: E731
-    as_i = lambda a: jnp.asarray(a, dtype=jnp.int32)  # noqa: E731
-    return {
-        "slot": as_i(t.slot),
-        "window": as_i(t.window),
-        "is_short": jnp.asarray(t.is_short),
-        "pretab": as_i(t.pretab),
-        "band_start": as_i(t.band_start),
-        "reorder": as_i(t.reorder),
-        "alias_a": as_f(t.alias_a),
-        "alias_b": as_f(t.alias_b),
-        "alias_mirror": as_i(t.alias_mirror),
-        "imdct": as_f(t.imdct),
-        "synth_n": as_f(t.synth_n),
-        "synth_d": as_f(t.synth_d),
-        "synth_col": as_i(t.synth_col),
-    }
+def _class_masks(kind):
+    """(G, 1) boolean masks for layout classes (long / short / mixed)."""
+    cls = jnp.asarray(CLASS_OF_KIND)[kind]
+    return [(cls == c)[:, None] for c in range(3)]
 
 
-def _requantize(b: GranuleBatch, tb, dtype):
-    """(G, 576) dst-layout requantized spectra."""
-    row = b.sr_row
-    kind = b.kind
-    # Per-gch per-sample maps, gathered from (9, 5, 576) tables.
-    gather = lambda tab: tab[row, kind]  # noqa: E731
-    reorder = gather(tb["reorder"])  # (G, 576)
-    spec = jnp.take_along_axis(b.spectrum, reorder, axis=1)
+def _select_by_class(masks, variants):
+    out = jnp.where(masks[0], variants[0], variants[1])
+    return jnp.where(masks[2], variants[2], out)
 
-    slot = gather(tb["slot"])
-    win = gather(tb["window"])
-    short = gather(tb["is_short"])
-    pre = gather(tb["pretab"])
 
-    scf = jnp.take_along_axis(b.scf, slot, axis=1)
-    sbg = jnp.take_along_axis(b.subblock_gain, win, axis=1)
+def _per_sample_const(masks, rows, dtype=None):
+    """Select a (576,) constant per class into (G, 576)."""
+    rows = [jnp.asarray(r, dtype) if dtype else jnp.asarray(r) for r in rows]
+    return _select_by_class(masks, [r[None, :] for r in rows])
+
+
+# Exactness-critical matmuls (integer-valued one-hot selections) must not
+# be downcast by the TPU's default bf16 matmul precision.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _reorder(x, masks, rt, dtype):
+    """Apply the layout permutation: identity (long), short, or mixed
+    (identity below sample 36, short above). One one-hot MXU matmul."""
+    perm = jnp.asarray(rt.perm_short_onehot, dtype)
+    x_perm = jnp.dot(x, perm.T, preferred_element_type=dtype, precision=_EXACT)
+    sample_lt36 = (jnp.arange(576) < 36)[None, :]
+    x_mixed = jnp.where(sample_lt36, x, x_perm)
+    return _select_by_class(masks, [x, x_perm, x_mixed])
+
+
+def _requantize(b: GranuleBatch, rt, masks, dtype):
+    """(G, 576) layout-ordered requantized spectra (gather-free)."""
+    spec = b.spectrum.astype(dtype)
+    spec = _reorder(spec, masks, rt, dtype)
+
+    scf = b.scf.astype(dtype)  # (G, 64), exact small ints
+    slot_oh = jnp.asarray(rt.slot_onehot, dtype)  # (3, 64, 576)
+    scf_s = _select_by_class(
+        masks,
+        [
+            jnp.dot(scf, slot_oh[c], preferred_element_type=dtype, precision=_EXACT)
+            for c in range(3)
+        ],
+    )
+    sbg = b.subblock_gain.astype(dtype)  # (G, 3)
+    win_oh = jnp.asarray(rt.win_onehot, dtype)
+    sbg_s = _select_by_class(
+        masks,
+        [
+            jnp.dot(sbg, win_oh[c], preferred_element_type=dtype, precision=_EXACT)
+            for c in range(3)
+        ],
+    )
+    pre = _per_sample_const(masks, list(rt.pretab), dtype)
+    short = _per_sample_const(masks, list(rt.is_short.astype(np.float32)), dtype)
+
     scf_mult = 0.5 * (1.0 + b.scalefac_scale.astype(dtype))[:, None]
-    pre_term = jnp.where(b.preflag[:, None] == 1, pre, 0)
+    pre_term = jnp.where(b.preflag[:, None] == 1, pre, 0.0)
     exponent = (
         0.25 * (b.global_gain.astype(dtype) - 210.0)[:, None]
-        - scf_mult * (scf + pre_term).astype(dtype)
-        - jnp.where(short, 2.0 * sbg.astype(dtype), 0.0)
+        - scf_mult * (scf_s + pre_term)
+        - 2.0 * short * sbg_s
     )
-    mag = jnp.abs(spec).astype(dtype)
-    xr = jnp.sign(spec).astype(dtype) * mag ** (4.0 / 3.0) * jnp.exp2(exponent)
+    mag = jnp.abs(spec)
+    xr = jnp.sign(spec) * mag ** (4.0 / 3.0) * jnp.exp2(exponent)
     return xr
 
 
 _SQRT2_INV = 1.0 / np.sqrt(2.0)
 
 
-def _stereo(b: GranuleBatch, xr, tb, dtype):
+def _stereo(b: GranuleBatch, xr, rt, masks, dtype):
     if b.n_channels != 2:
         return xr
     x0 = xr[0::2]
     x1 = xr[1::2]
     g0 = lambda a: a[0::2]  # noqa: E731
+    masks0 = [m[0::2] for m in masks]
 
     # MS stereo on the full spectrum.
     ms = g0(b.ms_flag)[:, None] == 1
-    l_ms = (x0 + x1) * _SQRT2_INV
-    r_ms = (x0 - x1) * _SQRT2_INV
-    left = jnp.where(ms, l_ms, x0)
-    right = jnp.where(ms, r_ms, x1)
+    left = jnp.where(ms, (x0 + x1) * _SQRT2_INV, x0)
+    right = jnp.where(ms, (x0 - x1) * _SQRT2_INV, x1)
 
     # Intensity stereo above the right channel's nonzero bound.
     isf = g0(b.is_flag)[:, None] == 1
-    row = g0(b.sr_row)
-    kind = g0(b.kind)
-    band_start = tb["band_start"][row, kind]  # huffman-order band starts
-    rzero = g0(b.rzero_other)[:, None]  # ch1's bound, stored on ch0 slot
+    band_start = _per_sample_const(masks0, list(rt.band_start))
+    rzero = g0(b.rzero_other)[:, None]
     in_band = isf & (band_start >= rzero)
 
-    slot = tb["slot"][row, kind]
-    is_pos = jnp.take_along_axis(b.scf[1::2], slot, axis=1)
+    scf1 = b.scf[1::2].astype(dtype)
+    slot_oh = jnp.asarray(rt.slot_onehot, dtype)
+    is_pos = _select_by_class(
+        masks0,
+        [
+            jnp.dot(scf1, slot_oh[c], preferred_element_type=dtype, precision=_EXACT)
+            for c in range(3)
+        ],
+    )  # exact small ints in float
 
-    # MPEG1 intensity: ratio = tan(is_pos * pi / 12), is_pos == 7 illegal.
-    angle = is_pos.astype(dtype) * (np.pi / 12.0)
+    # MPEG1 intensity: ratio = tan(is_pos * pi / 12); is_pos == 7 illegal.
+    angle = is_pos * (np.pi / 12.0)
     tan = jnp.tan(jnp.minimum(angle, 1.55))
-    kl1 = jnp.where(is_pos == 6, 1.0, tan / (1.0 + tan))
-    kr1 = jnp.where(is_pos == 6, 0.0, 1.0 / (1.0 + tan))
+    kl1 = jnp.where(is_pos == 6.0, 1.0, tan / (1.0 + tan))
+    kr1 = jnp.where(is_pos == 6.0, 0.0, 1.0 / (1.0 + tan))
 
-    # LSF intensity: io^((is_pos+1)//2) on one side (ISO 13818-3 2.4.3.2).
-    io = jnp.where(g0(b.intensity_scale)[:, None] == 1, _SQRT2_INV, 2.0 ** -0.25)
-    k_odd = io ** ((is_pos + 1) // 2).astype(dtype)
-    kl2 = jnp.where(is_pos % 2 == 1, k_odd, 1.0)
-    kr2 = jnp.where(is_pos % 2 == 1, 1.0, jnp.where(is_pos == 0, 1.0, io ** (is_pos // 2).astype(dtype)))
+    # LSF intensity (ISO 13818-3 2.4.3.2).
+    io = jnp.where(
+        g0(b.intensity_scale)[:, None] == 1, dtype(_SQRT2_INV), dtype(2.0**-0.25)
+    )
+    half_up = jnp.floor((is_pos + 1.0) * 0.5)
+    k_odd = io**half_up
+    is_odd = jnp.floor(is_pos * 0.5) * 2.0 != is_pos
+    kl2 = jnp.where(is_odd, k_odd, 1.0)
+    kr2 = jnp.where(
+        is_odd, 1.0, jnp.where(is_pos == 0.0, 1.0, io ** jnp.floor(is_pos * 0.5))
+    )
 
     lsf = g0(b.lsf)[:, None] == 1
     kl = jnp.where(lsf, kl2, kl1)
     kr = jnp.where(lsf, kr2, kr1)
-    illegal = (~lsf) & (is_pos == 7)
+    illegal = (~lsf) & (is_pos == 7.0)
 
     apply_i = in_band & ~illegal
     left = jnp.where(apply_i, kl * x0, left)
     right = jnp.where(apply_i, kr * x0, right)
 
-    out = jnp.zeros_like(xr)
-    out = out.at[0::2].set(left.astype(xr.dtype))
-    out = out.at[1::2].set(right.astype(xr.dtype))
-    return out
+    g, s = xr.shape
+    out = jnp.stack([left, right], axis=1).reshape(g, s)
+    return out.astype(xr.dtype)
 
 
-def _alias(b: GranuleBatch, xr, tb):
-    kind = b.kind
-    a = tb["alias_a"][kind]
-    bb = tb["alias_b"][kind]
-    mirror = tb["alias_mirror"][kind]
-    return a * xr + bb * jnp.take_along_axis(xr, mirror, axis=1)
+# Alias-reduction butterfly coefficients (derived from the ISO ci values).
+_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
+_CS = (1.0 / np.sqrt(1.0 + _CI**2)).astype(np.float64)
+_CA = (_CI / np.sqrt(1.0 + _CI**2)).astype(np.float64)
 
 
-def _imdct_overlap(b: GranuleBatch, xr, tb, dtype):
-    """(G, 576) → per-gch 18 output samples per subband with overlap carry.
+def _alias(b: GranuleBatch, xr, masks, dtype):
+    """Alias-reduction butterflies via pure slicing (no gathers).
 
-    Overlap-add across granule time is a pure shift (carry_t = z_t[18:]),
-    so the whole stage is parallel over time.
-    """
+    For each long-subband boundary: 8 butterflies between the last 8 lines
+    of subband sb-1 (reversed) and the first 8 of subband sb. Applied to
+    all 31 boundaries for long-class granules, boundary 0 only for mixed,
+    none for short."""
     g = xr.shape[0]
     x = xr.reshape(g, 32, 18)
-    bt = jnp.where(b.kind == 4, 2, b.block_type)  # mixed uses short matrices
-    m = tb["imdct"][bt]  # (G, 36, 18)
-    z = jnp.einsum("gok,gsk->gso", m, x)  # (G, 32, 36)
-    # Mixed blocks: subbands 0-1 use the long (bt0) window instead.
-    z_long = jnp.einsum("ok,gsk->gso", tb["imdct"][0], x[:, :2])
-    mixed = (b.kind == 4)[:, None, None]
-    z = z.at[:, :2].set(jnp.where(mixed, z_long, z[:, :2]))
+    cs = jnp.asarray(_CS, dtype)
+    ca = jnp.asarray(_CA, dtype)
+
+    hi = jnp.flip(x[:, :31, 10:18], axis=-1)  # lines 17..10 of sb
+    lo = x[:, 1:, 0:8]  # lines 0..7 of sb+1
+    new_hi = cs * hi - ca * lo
+    new_lo = cs * lo + ca * hi
+
+    # Per-boundary activation mask: long -> all, mixed -> first only, short -> none.
+    n_bound = jnp.where(
+        masks[0][:, :1], 31, jnp.where(masks[2][:, :1], 1, 0)
+    )  # (G, 1)
+    bmask = (jnp.arange(31)[None, :] < n_bound)[..., None]  # (G, 31, 1)
+
+    hi_eff = jnp.where(bmask, new_hi, hi)
+    lo_eff = jnp.where(bmask, new_lo, lo)
+    x = x.at[:, :31, 10:18].set(jnp.flip(hi_eff, axis=-1))
+    x = x.at[:, 1:, 0:8].set(lo_eff)
+    return x.reshape(g, 576)
+
+
+def _imdct_overlap(b: GranuleBatch, xr, dtype):
+    """(G, 576) → (T, nch, 32, 18) hybrid outputs with overlap carry.
+
+    IMDCT+window as four GEMMs (one per block type) selected by mask;
+    overlap-add across granule time is a pure shift."""
+    t_tabs = build_tables()
+    g = xr.shape[0]
+    x2 = xr.reshape(g * 32, 18)
+
+    z = None
+    bt_g = jnp.where(b.kind == 4, 2, b.block_type)  # mixed uses short matrices
+    for bt in range(4):
+        m = jnp.asarray(t_tabs.imdct[bt], dtype)  # (36, 18)
+        z_bt = jnp.dot(x2, m.T, preferred_element_type=dtype).reshape(g, 32, 36)
+        if bt == 0:
+            # Mixed blocks: subbands 0-1 use the long window.
+            sb_long = (jnp.arange(32) < 2)[None, :, None]
+            mixed_mask = (b.kind == 4)[:, None, None] & sb_long
+            z = jnp.where((bt_g == 0)[:, None, None] | mixed_mask, z_bt, 0.0)
+        else:
+            sel = (bt_g == bt)[:, None, None]
+            if bt == 2:
+                sb_short = (jnp.arange(32) >= 2)[None, :, None]
+                sel = sel & (
+                    (b.kind != 4)[:, None, None] | sb_short
+                )
+            z = z + jnp.where(sel, z_bt, 0.0)
 
     # Overlap-add with the previous granule of the same channel.
     nch = b.n_channels
@@ -239,48 +313,70 @@ def _imdct_overlap(b: GranuleBatch, xr, tb, dtype):
     return out * sign
 
 
-def _synthesis(out18, tb):
-    """(T, nch, 32, 18) hybrid outputs → (nch, T*576) PCM."""
+def _synth_kernel(dtype) -> np.ndarray:
+    """Combined synthesis kernel W (16 taps, 64 in, 32 out):
+    PCM_t[j] = sum_k sum_u V[t-k, u] * W[k, u, j]."""
+    t = build_tables()
+    w = np.zeros((16, 64, 32))
+    j = np.arange(32)
+    for k in range(16):
+        cols = j if k % 2 == 0 else 32 + j
+        w[k, cols, j] = t.synth_d[k]
+    return w
+
+
+def _synthesis(out18, dtype):
+    """(T, nch, 32, 18) hybrid outputs → (nch, T*576) PCM via one matmul
+    (the DCT matrixing) and one 16-tap feature convolution (dewindowing)."""
+    tbs = build_tables()
     t, nch = out18.shape[0], out18.shape[1]
     s = out18.transpose(1, 0, 3, 2).reshape(nch, t * 18, 32)  # (C, TS, 32)
-    v = jnp.einsum("cts,vs->ctv", s, tb["synth_n"])  # (C, TS, 64)
+    n = jnp.asarray(tbs.synth_n, dtype)  # (64, 32)
+    v = jnp.einsum("cts,vs->ctv", s, n, preferred_element_type=dtype)  # (C, TS, 64)
+
+    w = jnp.asarray(_synth_kernel(dtype), dtype)  # (16, 64, 32)
+    # conv over time: lhs (C, 64, TS), rhs (32 out, 64 in, 16 taps);
+    # causal padding of 15 on the left. rhs spatial order: tap k multiplies
+    # V[t-k], i.e. the kernel is reversed relative to cross-correlation.
+    lhs = v.transpose(0, 2, 1)
+    rhs = jnp.flip(w, axis=0).transpose(2, 1, 0)  # (32, 64, 16)
+    pcm = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(15, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=dtype,
+    )  # (C, 32, TS)
     ts = v.shape[1]
-    vpad = jnp.concatenate([jnp.zeros_like(v[:, :15]), v], axis=1)
-    pcm = jnp.zeros((nch, ts, 32), dtype=v.dtype)
-    for k in range(16):
-        vk = jax.lax.dynamic_slice_in_dim(vpad, 15 - k, ts, axis=1)
-        cols = tb["synth_col"][k]  # (32,)
-        pcm = pcm + tb["synth_d"][k][None, None, :] * vk[:, :, cols]
-    return pcm.reshape(nch, ts * 32)
+    return pcm.transpose(0, 2, 1).reshape(nch, ts * 32)
 
 
-@partial(jax.jit, static_argnames=("n_channels", "dtype"))
-def _decode_jit(spectrum, scf, kind, sr_row, global_gain, scalefac_scale,
+@partial(jax.jit, static_argnames=("n_channels", "sr_row", "dtype"))
+def _decode_jit(spectrum, scf, kind, sr_row_arr, global_gain, scalefac_scale,
                 preflag, subblock_gain, block_type, mixed, ms_flag, is_flag,
-                lsf, intensity_scale, rzero_other, n_channels, dtype):
+                lsf, intensity_scale, rzero_other, n_channels, sr_row, dtype):
     b = GranuleBatch(
-        spectrum=spectrum, scf=scf, kind=kind, sr_row=sr_row,
+        spectrum=spectrum, scf=scf, kind=kind, sr_row=sr_row_arr,
         global_gain=global_gain, scalefac_scale=scalefac_scale,
         preflag=preflag, subblock_gain=subblock_gain, block_type=block_type,
         mixed=mixed, ms_flag=ms_flag, is_flag=is_flag, lsf=lsf,
         intensity_scale=intensity_scale, rzero_other=rzero_other,
         n_channels=n_channels,
     )
-    tb = _tables_for(dtype)
-    xr = _requantize(b, tb, dtype)
-    xr = _stereo(b, xr, tb, dtype)
-    xr = _alias(b, xr, tb)
-    out18 = _imdct_overlap(b, xr, tb, dtype)
-    return _synthesis(out18, tb)
+    rt = row_tables(sr_row)
+    masks = _class_masks(b.kind)
+    xr = _requantize(b, rt, masks, dtype)
+    xr = _stereo(b, xr, rt, masks, dtype)
+    xr = _alias(b, xr, masks, dtype)
+    out18 = _imdct_overlap(b, xr, dtype)
+    return _synthesis(out18, dtype)
 
 
-def decode_batch(b: GranuleBatch, dtype=jnp.float32) -> jnp.ndarray:
+def decode_batch(b: GranuleBatch, sr_row: int, dtype=jnp.float32) -> jnp.ndarray:
     """Decode a granule batch to PCM, shape (n_channels, n_samples)."""
     return _decode_jit(
         b.spectrum, b.scf, b.kind, b.sr_row, b.global_gain, b.scalefac_scale,
         b.preflag, b.subblock_gain, b.block_type, b.mixed, b.ms_flag,
         b.is_flag, b.lsf, b.intensity_scale, b.rzero_other,
-        n_channels=b.n_channels, dtype=dtype,
+        n_channels=b.n_channels, sr_row=sr_row, dtype=dtype,
     )
 
 
@@ -290,5 +386,6 @@ def decode_file(path, dtype=jnp.float32) -> tuple[np.ndarray, int]:
     if u.n == 0:
         return np.zeros((1, 0), dtype=np.float32), 0
     b = batch_from_unpacked(u, dtype=dtype)
-    pcm = decode_batch(b, dtype=dtype)
+    sr_row = int(u.info[0, fe.SR_ROW])
+    pcm = decode_batch(b, sr_row, dtype=dtype)
     return np.asarray(pcm), u.sample_rate

@@ -57,6 +57,118 @@ def _ar2_kernels(a1: float, a2: float, block: int):
     return th, g1, g2, m
 
 
+@lru_cache(maxsize=None)
+def _prefix_kernels(a1: float, a2: float, block: int, n_blocks: int, l2: int):
+    """Constants for the two-level affine-prefix solve of
+    s_n = M s_{n-1} + v_n over n_blocks first-level carries.
+
+    Returns (T2 (l2*2, l2*2) local prefix operator, T3 (nb2*2, nb2*2)
+    strict-lower cross-superblock operator, P (l2, 2, 2) powers M^(t+1)),
+    where nb2 = ceil(n_blocks / l2)."""
+    _, _, _, m = _ar2_kernels(a1, a2, block)
+    nb2 = -(-n_blocks // l2)
+
+    powers = [np.eye(2)]
+    for _ in range(max(l2, nb2) + 1):
+        powers.append(m @ powers[-1])
+
+    t2 = np.zeros((l2, l2, 2, 2))
+    for t in range(l2):
+        for s in range(t + 1):
+            t2[t, s] = powers[t - s]
+    ml2 = powers[l2]
+    ml2_pow = [np.eye(2)]
+    for _ in range(nb2):
+        ml2_pow.append(ml2 @ ml2_pow[-1])
+    t3 = np.zeros((nb2, nb2, 2, 2))
+    for t in range(nb2):
+        for s in range(t):
+            t3[t, s] = ml2_pow[t - 1 - s]
+    p = np.stack(powers[1 : l2 + 1])
+    # einsum-free layout: out[(t,i)] = sum_{(s,j)} T[(t,i),(s,j)] v[(s,j)]
+    t2m = t2.transpose(0, 2, 1, 3).reshape(l2 * 2, l2 * 2)
+    t3m = t3.transpose(0, 2, 1, 3).reshape(nb2 * 2, nb2 * 2)
+    return t2m, t3m, p
+
+
+def _affine_prefix(v, a1: float, a2: float, block: int, l2: int = 128):
+    """s_n = M s_{n-1} + v_n (s_{-1} = 0) for v (B, N, 2), fully parallel:
+    two levels of lower-triangular Toeplitz matmuls instead of an
+    associative scan (whose tree lowering serializes into ~2*log2(N)
+    tiny kernels on TPU)."""
+    b, n, _ = v.shape
+    nb2 = -(-n // l2)
+    t2m, t3m, p = _prefix_kernels(a1, a2, block, n, l2)
+    dtype = v.dtype
+    t2m = jnp.asarray(t2m, dtype)
+    t3m = jnp.asarray(t3m, dtype)
+    p = jnp.asarray(p, dtype)
+
+    vp = jnp.pad(v, ((0, 0), (0, nb2 * l2 - n), (0, 0)))
+    vb = vp.reshape(b, nb2, l2 * 2)
+    local = jnp.einsum(
+        "ts,bns->bnt", t2m, vb, preferred_element_type=dtype
+    ).reshape(b, nb2, l2, 2)
+    carries = local[:, :, -1, :]  # (B, nb2, 2)
+    s_prev = jnp.einsum(
+        "ts,bs->bt", t3m, carries.reshape(b, nb2 * 2),
+        preferred_element_type=dtype,
+    ).reshape(b, nb2, 2)
+    cross = jnp.einsum("bmj,tij->bmti", s_prev, p, preferred_element_type=dtype)
+    s = (local + cross).reshape(b, nb2 * l2, 2)
+    return s[:, :n]
+
+
+@lru_cache(maxsize=None)
+def _biquad_kernels(b0: float, b1: float, b2: float, a1: float, a2: float,
+                    block: int):
+    """Composite blocked-biquad operator Tc (L, L+2) = T_h @ Band.
+
+    Band maps the extended input block [x[-2], x[-1], x[0..L-1]] to the
+    FIR output f[t] = b0 x[t] + b1 x[t-1] + b2 x[t-2]; T_h is the AR(2)
+    zero-state Toeplitz. Folding the FIR here avoids per-sample lane-shift
+    slices, which dominate TPU time by ~40x."""
+    L = block
+    th, g1, g2, m = _ar2_kernels(a1, a2, block)
+    band = np.zeros((L, L + 2))
+    for t in range(L):
+        band[t, t + 2] = b0
+        band[t, t + 1] = b1
+        band[t, t] = b2
+    return th @ band, g1, g2, m
+
+
+def _biquad_apply(x, section, block: int):
+    """Apply a full biquad (FIR + AR2) along the last axis of (B, T),
+    blockwise and exactly: one (L, L+2) matmul per block plus the
+    two-level affine carry prefix. No per-sample shifts anywhere."""
+    b0, b1, b2, a1, a2 = (float(c) for c in section)
+    b, t = x.shape
+    L = block
+    nblk = -(-t // L)
+    xp = jnp.pad(x, ((0, 0), (0, nblk * L - t)))
+    xb = xp.reshape(b, nblk, L)
+
+    tc, g1, g2, m = _biquad_kernels(b0, b1, b2, a1, a2, L)
+    dtype = x.dtype
+    tc = jnp.asarray(tc, dtype)
+    g1 = jnp.asarray(g1, dtype)
+    g2 = jnp.asarray(g2, dtype)
+
+    # Extended input block: previous block's last 2 samples + this block.
+    prev2 = jnp.pad(xb[:, :-1, L - 2 :], ((0, 0), (1, 0), (0, 0)))
+    xin = jnp.concatenate([prev2, xb], axis=-1)  # (B, NB, L+2)
+
+    y_zs = jnp.einsum("ts,bns->bnt", tc, xin, preferred_element_type=dtype)
+
+    v = jnp.stack([y_zs[:, :, L - 1], y_zs[:, :, L - 2]], axis=-1)
+    s = _affine_prefix(v, a1, a2, L)
+    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
+
+    y = y_zs + s_prev[..., 0:1] * g1 + s_prev[..., 1:2] * g2
+    return y.reshape(b, nblk * L)[:, :t]
+
+
 def _ar2_apply(f, a1: float, a2: float, block: int):
     """Apply y_t = f_t - a1 y_{t-1} - a2 y_{t-2} along the last axis of
     (B, T) exactly, blockwise."""
@@ -77,19 +189,10 @@ def _ar2_apply(f, a1: float, a2: float, block: int):
     # Zero-state response per block: lower-triangular Toeplitz matmul.
     y_zs = jnp.einsum("ts,bns->bnt", th, fb, preferred_element_type=dtype)
 
-    # Block carry: s_n = M s_{n-1} + v_n, solved with an associative scan.
+    # Block carry: s_n = M s_{n-1} + v_n, solved with a fully parallel
+    # two-level Toeplitz prefix (no scan).
     v = jnp.stack([y_zs[:, :, L - 1], y_zs[:, :, L - 2]], axis=-1)  # (B,N,2)
-    mm = jnp.broadcast_to(m, (b, nblk, 2, 2))
-
-    def combine(lhs, rhs):
-        m1, v1 = lhs
-        m2, v2 = rhs
-        return (
-            jnp.einsum("...ij,...jk->...ik", m2, m1),
-            jnp.einsum("...ij,...j->...i", m2, v1) + v2,
-        )
-
-    _, s = jax.lax.associative_scan(combine, (mm, v), axis=1)
+    s = _affine_prefix(v, a1, a2, L)
     # State entering block n is s_{n-1}; block 0 starts from rest.
     s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
 
@@ -98,13 +201,15 @@ def _ar2_apply(f, a1: float, a2: float, block: int):
 
 
 def _fir(x, taps):
-    """Causal FIR along the last axis of (B, T)."""
+    """Causal FIR along the last axis of (B, T): shifted-slice adds (which
+    XLA fuses into one elementwise pass; a rank-1-feature conv gets a
+    degenerate T(1,128) layout on TPU)."""
     n = len(taps)
     xp = jnp.pad(x, ((0, 0), (n - 1, 0)))
     t = x.shape[1]
-    out = jnp.zeros_like(x)
-    for i, c in enumerate(taps):
-        out = out + c * jax.lax.dynamic_slice_in_dim(xp, n - 1 - i, t, axis=1)
+    out = taps[0] * x
+    for i in range(1, n):
+        out = out + taps[i] * jax.lax.slice_in_dim(xp, n - 1 - i, n - 1 - i + t, axis=1)
     return out
 
 
@@ -113,14 +218,13 @@ def _equal_loudness_jit(x, sample_rate: int, block: int):
     plan = filter_plan(sample_rate)
     dtype = x.dtype
     y = x
-    for i, (b0, b1, b2, a1, a2) in enumerate(plan.sos):
-        y = _fir(y, [dtype.type(b0), dtype.type(b1), dtype.type(b2)])
-        if i == len(plan.sos) - 2:
-            # Denormal-prevention constants of the reference (injected at
-            # the yule output and butter output, src/replaygain.rs:595,608):
-            # preserves the silence-drop histogram behavior.
+    for i, section in enumerate(plan.sos):
+        if i == len(plan.sos) - 1:
+            # Denormal-prevention constant of the reference (injected at
+            # the yule output, src/replaygain.rs:595): preserves the
+            # silence-drop histogram behavior.
             y = y + dtype.type(DENORMAL_PREVENTION)
-        y = _ar2_apply(y, float(a1), float(a2), block)
+        y = _biquad_apply(y, tuple(section), block)
     return y + dtype.type(DENORMAL_PREVENTION)
 
 

@@ -46,9 +46,10 @@ def _derive_fields(spectrum, scf, info, *, n_channels: int):
     kind = jnp.where((kind == 2) & (info[..., fe.MIXED] == 1), 4, kind)
     rzero = jnp.maximum(info[..., fe.BIG_END], info[..., fe.COUNT1_END])
     if n_channels == 2:
-        g = rzero.shape[-1]
-        swap = jnp.arange(g) ^ 1  # partner channel (records are ch-paired)
-        rz = rzero[..., swap]
+        # Partner channel's bound (records are channel-paired): swap pairs
+        # structurally (a gather would lower to a serial loop on TPU).
+        shape = rzero.shape
+        rz = jnp.flip(rzero.reshape(shape[:-1] + (-1, 2)), axis=-1).reshape(shape)
     else:
         rz = rzero
     joint = (info[..., fe.CHANNEL_MODE] == 1).astype(jnp.int32)
@@ -75,13 +76,14 @@ def _unpack_spectrum(spec_i8, esc_idx, esc_val):
     """
     b, g, ext = spec_i8.shape
     spec = spec_i8.astype(jnp.int32)
-    spec = jnp.pad(spec, ((0, 0), (0, 0), (0, 576 - ext + 1)))
-    bi = jnp.arange(b)[:, None, None]
-    gi = jnp.arange(g)[None, :, None]
-    spec = spec.at[bi, gi, esc_idx.astype(jnp.int32)].set(
-        esc_val.astype(jnp.int32)
-    )
-    return spec[..., :576]
+    spec = jnp.pad(spec, ((0, 0), (0, 0), (0, 576 - ext)))
+    # Dense compare-and-select per escape slot: a scatter here lowers to a
+    # sort + serial loop on TPU; E is small (usually 4).
+    cols = jnp.arange(576, dtype=jnp.int32)[None, None, :]
+    for e in range(esc_idx.shape[-1]):
+        hit = cols == esc_idx[:, :, e : e + 1].astype(jnp.int32)
+        spec = jnp.where(hit, esc_val[:, :, e : e + 1].astype(jnp.int32), spec)
+    return spec
 
 
 def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
@@ -92,12 +94,15 @@ def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
     + escape sideband (B, G, E) int16 pairs, scf (B, G, 64) int8,
     info (B, G, INFO_N) int32, valid_samples (B,).
     """
+    from ..decode.format_tables import SR_ROW
+
     spectrum = _unpack_spectrum(spec_i8, esc_idx, esc_val)
     fields = _derive_fields(spectrum, scf, info, n_channels=n_channels)
+    sr_row = SR_ROW[sample_rate]
 
     def one(args):
         return synthesis._decode_jit(
-            *args, n_channels=n_channels, dtype=dtype
+            *args, n_channels=n_channels, sr_row=sr_row, dtype=dtype
         )
 
     pcm = jax.vmap(one)(fields)  # (B, C, N)
