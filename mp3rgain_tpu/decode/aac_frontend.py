@@ -1,0 +1,251 @@
+"""AAC decode front-end wrapper: MP4/ADTS demux + native entropy stage.
+
+MP4 (M4A) files are demuxed in Python (sample tables → raw AAC frames →
+ADTS); the native C++ stage (_native/aacdec.cpp) handles all AAC-LC
+entropy decode and spectral prep. Output: natural-order requantized
+spectra + window metadata for the device back-end.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..native import _inbuf, _lib, _u8p
+
+# Info field indices (keep in sync with _native/aacdec.cpp).
+FRAME = 0
+CHANNEL = 1
+WINDOW_SEQ = 2
+WINDOW_SHAPE = 3
+NCH = 4
+SR = 5
+VALID = 6
+INFO_N = 8
+
+_lib.mg_aac_unpack_adts.restype = ctypes.c_int64
+_lib.mg_aac_unpack_adts.argtypes = [
+    _u8p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+    ctypes.c_int64,
+]
+
+ADTS_SR_INDEX = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
+                 24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
+SR_FROM_INDEX = {v: k for k, v in ADTS_SR_INDEX.items()}
+
+
+@dataclass
+class UnpackedAac:
+    spec: np.ndarray  # (n, 1024) float32, natural window order
+    info: np.ndarray  # (n, INFO_N) int32
+
+    @property
+    def n(self) -> int:
+        return self.info.shape[0]
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.info[0, SR]) if self.n else 0
+
+    @property
+    def n_channels(self) -> int:
+        return int(self.info[0, NCH]) if self.n else 0
+
+
+def unpack_adts(data: bytes) -> UnpackedAac:
+    cap = max(64, len(data) // 64)
+    while True:
+        spec = np.zeros((cap, 1024), dtype=np.float32)
+        info = np.zeros((cap, INFO_N), dtype=np.int32)
+        n = _lib.mg_aac_unpack_adts(
+            _inbuf(data), len(data),
+            spec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        )
+        if n <= cap:
+            return UnpackedAac(spec=spec[:n], info=info[:n])
+        cap = int(n)
+
+
+# ---------------------------------------------------------------------------
+# MP4 demux: extract raw AAC samples + AudioSpecificConfig, re-frame as ADTS.
+# ---------------------------------------------------------------------------
+
+
+def _walk_boxes(data, start, end):
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data, start, end, *path):
+    if not path:
+        return start, end
+    for btype, cs, ce in _walk_boxes(data, start, end):
+        if btype == path[0]:
+            if path[0] == b"meta":
+                cs += 4  # version/flags
+            return _find(data, cs, ce, *path[1:])
+    return None
+
+
+class Mp4DemuxError(RuntimeError):
+    pass
+
+
+def mp4_to_adts(data: bytes) -> bytes:
+    """Extract the AAC track from an M4A/MP4 file as an ADTS stream."""
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise Mp4DemuxError("No moov box")
+
+    # Find the audio trak (hdlr == soun) with an mp4a sample entry.
+    for btype, cs, ce in _walk_boxes(data, *moov):
+        if btype != b"trak":
+            continue
+        stbl = _find(data, cs, ce, b"mdia", b"minf", b"stbl")
+        if stbl is None:
+            continue
+        stsd = _find(data, *stbl, b"stsd")
+        if stsd is None:
+            continue
+        # stsd: version/flags(4) entry_count(4) then sample entries.
+        entry_pos = stsd[0] + 8
+        size, fmt = struct.unpack_from(">I4s", data, entry_pos)
+        if fmt != b"mp4a":
+            continue
+        # mp4a box: 8 hdr + 6 reserved + 2 data_ref + 8 reserved +
+        # 2 ch + 2 bits + 4 reserved + 4 rate, then child boxes (esds).
+        esds = _find(data, entry_pos + 8 + 28, entry_pos + size, b"esds")
+        if esds is None:
+            raise Mp4DemuxError("mp4a without esds")
+        asc = _parse_esds(data[esds[0] : esds[1]])
+        sizes, offsets = _sample_tables(data, stbl)
+        return _build_adts(data, sizes, offsets, asc)
+    raise Mp4DemuxError("No AAC audio track found")
+
+
+def _parse_esds(esds: bytes) -> tuple[int, int, int]:
+    """Return (object_type, sr_index, channels) from the DecoderSpecificInfo."""
+    pos = 4  # version/flags
+
+    def read_desc(pos):
+        tag = esds[pos]
+        pos += 1
+        size = 0
+        for _ in range(4):
+            b = esds[pos]
+            pos += 1
+            size = (size << 7) | (b & 0x7F)
+            if not (b & 0x80):
+                break
+        return tag, size, pos
+
+    while pos < len(esds):
+        tag, size, pos = read_desc(pos)
+        if tag == 0x03:  # ES_Descriptor: es_id(2) + flags(1)
+            pos += 3
+        elif tag == 0x04:  # DecoderConfig: objtype(1)+stream(1)+buf(3)+rates(8)
+            pos += 13
+        elif tag == 0x05:  # DecoderSpecificInfo = AudioSpecificConfig
+            asc = esds[pos : pos + size]
+            obj = asc[0] >> 3
+            sr_index = ((asc[0] & 7) << 1) | (asc[1] >> 7)
+            channels = (asc[1] >> 3) & 0xF
+            return obj, sr_index, channels
+        else:
+            pos += size
+    raise Mp4DemuxError("AudioSpecificConfig not found")
+
+
+def _sample_tables(data: bytes, stbl) -> tuple[list[int], list[int]]:
+    stsz = _find(data, *stbl, b"stsz")
+    stsc = _find(data, *stbl, b"stsc")
+    stco = _find(data, *stbl, b"stco")
+    co64 = _find(data, *stbl, b"co64")
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        raise Mp4DemuxError("missing sample tables")
+
+    p = stsz[0]
+    sample_size, count = struct.unpack_from(">II", data, p + 4)
+    if sample_size:
+        sizes = [sample_size] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", data, p + 12))
+
+    p = stsc[0]
+    n_stsc = struct.unpack_from(">I", data, p + 4)[0]
+    stsc_entries = [
+        struct.unpack_from(">III", data, p + 8 + 12 * i) for i in range(n_stsc)
+    ]
+
+    if stco is not None:
+        p = stco[0]
+        n_chunks = struct.unpack_from(">I", data, p + 4)[0]
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", data, p + 8))
+    else:
+        p = co64[0]
+        n_chunks = struct.unpack_from(">I", data, p + 4)[0]
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}Q", data, p + 8))
+
+    # Expand stsc runs into per-sample offsets.
+    offsets = []
+    si = 0
+    for run_idx, (first_chunk, samples_per_chunk, _) in enumerate(stsc_entries):
+        last_chunk = (
+            stsc_entries[run_idx + 1][0] - 1
+            if run_idx + 1 < len(stsc_entries)
+            else len(chunk_offsets)
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            if chunk - 1 >= len(chunk_offsets):
+                break
+            off = chunk_offsets[chunk - 1]
+            for _ in range(samples_per_chunk):
+                if si >= len(sizes):
+                    break
+                offsets.append(off)
+                off += sizes[si]
+                si += 1
+    return sizes[: len(offsets)], offsets
+
+
+def _build_adts(data: bytes, sizes, offsets, asc) -> bytes:
+    obj, sr_index, channels = asc
+    out = bytearray()
+    for size, off in zip(sizes, offsets):
+        if off + size > len(data):
+            break
+        full = size + 7
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1
+        h[2] = ((obj - 1) << 6) | (sr_index << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 3) << 6) | ((full >> 11) & 0x3)
+        h[4] = (full >> 3) & 0xFF
+        h[5] = ((full & 7) << 5) | 0x1F
+        h[6] = 0xFC
+        out += h
+        out += data[off : off + size]
+    return bytes(out)
+
+
+def unpack_file(path) -> UnpackedAac:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[4:8] == b"ftyp":
+        data = mp4_to_adts(data)
+    return unpack_adts(data)
