@@ -1,0 +1,300 @@
+"""mp3rgui — interactive UI equivalent of the reference GUI.
+
+The reference ships a thin synchronous egui desktop app
+(/root/reference/mp3rgui/): a file table with per-row volume/clipping
+state, track/album analyze, apply, and a target-volume control. This
+module reproduces that functionality as:
+
+- AppState: the complete application logic (add files/folders with
+  `._*` skipping and dedup, analyze, target-volume gain math
+  gain = target − 89 + rg_gain (mp3rgui/src/app.rs:174), clip prediction
+  peak * 10^(gain/20) > 1 (app.rs:242-245), apply/undo), fully headless
+  and unit-tested;
+- a curses terminal front-end (no desktop toolkit in this environment)
+  with the same table columns and actions.
+
+Run: mp3rgui [files...]  (or python -m mp3rgain_tpu.gui)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from . import mp4meta, replaygain
+from .bitstream import GAIN_STEP_DB, Mp3Error, analyze, apply_gain_with_undo, db_to_steps, undo_gain
+from .replaygain import REPLAYGAIN_REFERENCE_DB
+
+AUDIO_EXTS = (".mp3", ".m4a", ".aac", ".mp4")
+
+
+@dataclass
+class FileEntry:
+    """Per-row state (reference mp3rgui/src/app.rs FileEntry)."""
+
+    path: Path
+    status: str = "pending"
+    volume_db: float | None = None  # measured loudness
+    track_gain_db: float | None = None
+    album_gain_db: float | None = None
+    peak: float | None = None
+    clipping: bool = False
+    error: str | None = None
+
+    @property
+    def name(self) -> str:
+        return self.path.name
+
+
+@dataclass
+class AppState:
+    """Complete mp3rgui application logic, UI-independent."""
+
+    files: list[FileEntry] = field(default_factory=list)
+    target_db: float = REPLAYGAIN_REFERENCE_DB  # 75..100 slider in the reference
+    status_message: str = ""
+    progress: float = 0.0
+
+    # -- file management (app.rs:65-147) ------------------------------------
+
+    def add_files(self, paths) -> int:
+        added = 0
+        existing = {f.path for f in self.files}
+        for p in map(Path, paths):
+            if p.name.startswith("._"):  # macOS resource forks (app.rs:75)
+                continue
+            if p.suffix.lower() not in AUDIO_EXTS or p in existing:
+                continue
+            self.files.append(FileEntry(path=p))
+            existing.add(p)
+            added += 1
+        return added
+
+    def add_folder(self, folder) -> int:
+        paths = []
+        for root, _, names in os.walk(folder):
+            for n in sorted(names):
+                paths.append(Path(root) / n)
+        return self.add_files(paths)
+
+    def remove_selected(self, indices) -> None:
+        keep = [f for i, f in enumerate(self.files) if i not in set(indices)]
+        self.files = keep
+
+    def clear(self) -> None:
+        self.files = []
+
+    # -- analysis (app.rs:149-245) -------------------------------------------
+
+    def _entry_gain(self, entry: FileEntry) -> float | None:
+        """Gain to reach the target volume: target − 89 + rg_gain."""
+        base = entry.album_gain_db if entry.album_gain_db is not None else entry.track_gain_db
+        if base is None:
+            return None
+        return self.target_db - REPLAYGAIN_REFERENCE_DB + base
+
+    def _update_clipping(self, entry: FileEntry) -> None:
+        gain = self._entry_gain(entry)
+        if gain is None or entry.peak is None:
+            entry.clipping = False
+            return
+        entry.clipping = entry.peak * 10.0 ** (gain / 20.0) > 1.0
+
+    def analyze_tracks(self, progress_cb=None) -> None:
+        for i, entry in enumerate(self.files):
+            try:
+                res = replaygain.analyze_track(entry.path)
+                entry.volume_db = REPLAYGAIN_REFERENCE_DB - res.gain_db
+                entry.track_gain_db = res.gain_db
+                entry.peak = res.peak
+                entry.status = "analyzed"
+                entry.error = None
+            except Exception as e:
+                entry.status = "error"
+                entry.error = str(e)
+            self._update_clipping(entry)
+            self.progress = (i + 1) / max(len(self.files), 1)
+            if progress_cb:
+                progress_cb(self.progress, entry)
+
+    def analyze_album(self, progress_cb=None) -> None:
+        paths = [f.path for f in self.files]
+        if not paths:
+            return
+        try:
+            album = replaygain.analyze_album(paths)
+        except Exception as e:
+            self.status_message = f"Album analysis failed: {e}"
+            return
+        for entry, res in zip(self.files, album.tracks):
+            entry.volume_db = REPLAYGAIN_REFERENCE_DB - res.gain_db
+            entry.track_gain_db = res.gain_db
+            entry.album_gain_db = album.album_gain_db
+            entry.peak = res.peak
+            entry.status = "analyzed"
+            self._update_clipping(entry)
+        self.progress = 1.0
+        if progress_cb:
+            progress_cb(1.0, None)
+
+    # -- apply (app.rs:247-330) ----------------------------------------------
+
+    def apply_gain(self, use_album: bool = False, progress_cb=None) -> int:
+        applied = 0
+        for i, entry in enumerate(self.files):
+            base = entry.album_gain_db if use_album else entry.track_gain_db
+            if base is None:
+                continue
+            gain_db = self.target_db - REPLAYGAIN_REFERENCE_DB + base
+            steps = db_to_steps(gain_db)
+            try:
+                if mp4meta.is_mp4_file(entry.path):
+                    tags = mp4meta.ReplayGainTags()
+                    tags.set_track(entry.track_gain_db or 0.0, entry.peak or 1.0)
+                    if use_album and entry.album_gain_db is not None:
+                        tags.set_album(entry.album_gain_db, entry.peak or 1.0)
+                    mp4meta.write_replaygain_tags(entry.path, tags)
+                elif steps != 0:
+                    apply_gain_with_undo(entry.path, steps)
+                entry.status = "applied"
+                applied += 1
+            except Exception as e:
+                entry.status = "error"
+                entry.error = str(e)
+            self.progress = (i + 1) / max(len(self.files), 1)
+            if progress_cb:
+                progress_cb(self.progress, entry)
+        return applied
+
+    def undo_all(self) -> int:
+        count = 0
+        for entry in self.files:
+            try:
+                if undo_gain(entry.path) > 0:
+                    count += 1
+                    entry.status = "undone"
+            except Mp3Error:
+                pass
+        return count
+
+    # -- table rendering data ------------------------------------------------
+
+    def rows(self):
+        """Table rows mirroring the reference's 9 columns (ui/table.rs)."""
+        for entry in self.files:
+            try:
+                info = analyze(entry.path) if entry.path.suffix.lower() == ".mp3" else None
+            except Mp3Error:
+                info = None
+            gain = self._entry_gain(entry)
+            yield {
+                "file": entry.name,
+                "status": entry.status,
+                "volume": f"{entry.volume_db:.1f}" if entry.volume_db is not None else "-",
+                "clip": "CLIP" if entry.clipping else "",
+                "track_gain": f"{entry.track_gain_db:+.1f}" if entry.track_gain_db is not None else "-",
+                "album_gain": f"{entry.album_gain_db:+.1f}" if entry.album_gain_db is not None else "-",
+                "gain_steps": str(db_to_steps(gain)) if gain is not None else "-",
+                "max_gain": str(info.max_gain) if info else "-",
+                "error": entry.error or "",
+            }
+
+
+# -----------------------------------------------------------------------------
+# Curses front-end
+# -----------------------------------------------------------------------------
+
+_HELP = (
+    "a:analyze tracks  A:analyze album  g:apply track  G:apply album  "
+    "u:undo  +/-:target  d:remove  q:quit"
+)
+
+
+def _run_curses(state: AppState) -> None:  # pragma: no cover - interactive
+    import curses
+
+    def main(scr):
+        curses.curs_set(0)
+        selected = 0
+        while True:
+            scr.erase()
+            h, w = scr.getmaxyx()
+            scr.addnstr(0, 0, f"mp3rgui (TPU) — target {state.target_db:.1f} dB "
+                              f"(each step = {GAIN_STEP_DB} dB)", w - 1, curses.A_BOLD)
+            scr.addnstr(1, 0, _HELP, w - 1)
+            header = f"{'file':30s} {'status':9s} {'vol':>6s} {'clip':4s} {'trk':>6s} {'alb':>6s} {'steps':>5s}"
+            scr.addnstr(3, 0, header, w - 1, curses.A_UNDERLINE)
+            for i, row in enumerate(state.rows()):
+                if 4 + i >= h - 2:
+                    break
+                line = (f"{row['file'][:30]:30s} {row['status']:9s} {row['volume']:>6s} "
+                        f"{row['clip']:4s} {row['track_gain']:>6s} {row['album_gain']:>6s} "
+                        f"{row['gain_steps']:>5s}")
+                attr = curses.A_REVERSE if i == selected else 0
+                scr.addnstr(4 + i, 0, line, w - 1, attr)
+            scr.addnstr(h - 1, 0, state.status_message[: w - 1], w - 1)
+            scr.refresh()
+
+            c = scr.getch()
+            if c in (ord("q"), 27):
+                break
+            elif c == ord("a"):
+                state.status_message = "Analyzing tracks..."
+                scr.refresh()
+                state.analyze_tracks()
+                state.status_message = "Track analysis done"
+            elif c == ord("A"):
+                state.status_message = "Analyzing album..."
+                scr.refresh()
+                state.analyze_album()
+                state.status_message = "Album analysis done"
+            elif c == ord("g"):
+                n = state.apply_gain(use_album=False)
+                state.status_message = f"Applied track gain to {n} file(s)"
+            elif c == ord("G"):
+                n = state.apply_gain(use_album=True)
+                state.status_message = f"Applied album gain to {n} file(s)"
+            elif c == ord("u"):
+                n = state.undo_all()
+                state.status_message = f"Undid {n} file(s)"
+            elif c in (ord("+"), ord("=")):
+                state.target_db = min(100.0, state.target_db + 0.5)
+            elif c == ord("-"):
+                state.target_db = max(75.0, state.target_db - 0.5)
+            elif c == ord("d") and state.files:
+                state.remove_selected([selected])
+                selected = max(0, min(selected, len(state.files) - 1))
+            elif c == curses.KEY_UP:
+                selected = max(0, selected - 1)
+            elif c == curses.KEY_DOWN:
+                selected = min(len(state.files) - 1, selected + 1)
+
+    import curses
+
+    curses.wrapper(main)
+
+
+def main(argv=None) -> int:
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    state = AppState()
+    for a in args:
+        p = Path(a)
+        if p.is_dir():
+            state.add_folder(p)
+        else:
+            state.add_files([p])
+    try:
+        _run_curses(state)
+    except Exception as e:  # no TTY — print a plain table instead
+        print(f"(no interactive terminal: {e})")
+        state.analyze_tracks()
+        for row in state.rows():
+            print(row)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
