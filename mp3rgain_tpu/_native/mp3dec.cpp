@@ -137,7 +137,24 @@ struct BitReader {
   size_t bit;       // current absolute bit position
   bool overrun = false;
 
+  // Branch-light word-based reads (n <= 32).
+  uint64_t load64(size_t byte) const {
+    uint64_t w;
+    __builtin_memcpy(&w, data + byte, 8);
+    return __builtin_bswap64(w);
+  }
+
   uint32_t get(int n) {
+    const size_t byte = bit >> 3;
+    if (byte + 8 <= len) {
+      const uint64_t w = load64(byte) << (bit & 7);
+      bit += n;
+      return n ? static_cast<uint32_t>(w >> (64 - n)) : 0;
+    }
+    return get_slow(n);
+  }
+
+  uint32_t get_slow(int n) {
     uint32_t v = 0;
     for (int i = 0; i < n; ++i) {
       const size_t byte = bit >> 3;
@@ -152,11 +169,16 @@ struct BitReader {
   }
 
   uint32_t peek(int n) const {
+    const size_t byte = bit >> 3;
+    if (byte + 8 <= len) {
+      const uint64_t w = load64(byte) << (bit & 7);
+      return n ? static_cast<uint32_t>(w >> (64 - n)) : 0;
+    }
     uint32_t v = 0;
     size_t b = bit;
     for (int i = 0; i < n; ++i) {
-      const size_t byte = b >> 3;
-      const uint32_t x = byte < len ? ((data[byte] >> (7 - (b & 7))) & 1) : 0;
+      const size_t byi = b >> 3;
+      const uint32_t x = byi < len ? ((data[byi] >> (7 - (b & 7))) & 1) : 0;
       v = (v << 1) | x;
       ++b;
     }
@@ -649,6 +671,7 @@ int64_t mg_mp3_unpack(const uint8_t* data, size_t len, int32_t* info,
         int32_t* rinfo = info + rec * GCH_INFO_N;
         int32_t* rscf = scf + rec * kScfSlots;
         int32_t* ris = is + rec * 576;
+        memset(rinfo, 0, GCH_INFO_N * sizeof(int32_t));
         memset(rscf, 0, kScfSlots * sizeof(int32_t));
         memset(ris, 0, 576 * sizeof(int32_t));
 

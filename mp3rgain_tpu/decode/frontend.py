@@ -84,9 +84,10 @@ def _i32p(a: np.ndarray):
 def unpack_data(data: bytes) -> UnpackedMp3:
     cap = max(64, len(data) // 40)
     while True:
-        info = np.zeros((cap, INFO_N), dtype=np.int32)
-        scf = np.zeros((cap, SCF_SLOTS), dtype=np.int32)
-        spectrum = np.zeros((cap, 576), dtype=np.int32)
+        # np.empty is safe: the native stage fully writes every record <= n.
+        info = np.empty((cap, INFO_N), dtype=np.int32)
+        scf = np.empty((cap, SCF_SLOTS), dtype=np.int32)
+        spectrum = np.empty((cap, 576), dtype=np.int32)
         n = _lib.mg_mp3_unpack(
             _inbuf(data), len(data), _i32p(info), _i32p(scf), _i32p(spectrum), cap
         )
