@@ -324,6 +324,10 @@ void parse_tns_data(BitReader* br, const IcsInfo& ics, TnsData* tns) {
       TnsFilter& fl = tns->filt[w][f];
       fl.length = br->get(len_bits);
       fl.order = br->get(order_bits);
+      if (fl.order > 20) {  // LC max order is 12; clamp corrupt streams
+        fl.order = 0;
+        return;
+      }
       if (fl.order) {
         fl.direction = br->get(1);
         const int compress = br->get(1);

@@ -104,10 +104,8 @@ bool find_box(const uint8_t* data, size_t len, uint32_t type, size_t* pos_out,
       *h_out = h;
       return true;
     }
-    if (h.size == 0) break;
-    const uint64_t next = pos + h.size;
-    if (next >= len) break;
-    pos = static_cast<size_t>(next);
+    if (h.size < h.header_size || h.size >= len - pos) break;
+    pos += static_cast<size_t>(h.size);
   }
   return false;
 }
@@ -115,7 +113,7 @@ bool find_box(const uint8_t* data, size_t len, uint32_t type, size_t* pos_out,
 // Search inside a container's content range (mp4meta.rs:206-233).
 bool find_box_in(const uint8_t* data, size_t len, size_t start, size_t size,
                  uint32_t type, size_t* pos_out, BoxHeader* h_out) {
-  const size_t end = start + size;
+  const size_t end = size < len - start ? start + size : len;
   size_t pos = start;
   BoxHeader h;
   while (pos + 8 <= end && read_box(data, len, pos, &h)) {
@@ -124,7 +122,8 @@ bool find_box_in(const uint8_t* data, size_t len, size_t start, size_t size,
       *h_out = h;
       return true;
     }
-    if (h.size == 0) break;
+    // Corrupt sizes (0, < header, or past the container) end the walk.
+    if (h.size < h.header_size || h.size > end - pos) break;
     pos += static_cast<size_t>(h.size);
   }
   return false;
@@ -216,7 +215,7 @@ std::vector<uint8_t> create_ilst(const std::string* tags,  // 4 entries
   size_t pos = 0;
   BoxHeader h;
   while (pos + 8 <= existing_len && read_box(existing, existing_len, pos, &h)) {
-    if (h.size == 0 || pos + h.size > existing_len) break;
+    if (h.size < h.header_size || h.size > existing_len - pos) break;
     bool is_rg = false;
     if (h.box_type == FREEFORM) {
       Freeform t;
@@ -420,7 +419,7 @@ int64_t mg_mp4_read_tags(const uint8_t* data, size_t len, uint8_t* out,
                 }
               }
             }
-            if (h.size == 0) break;
+            if (h.size < h.header_size || h.size > end - pos) break;
             pos += static_cast<size_t>(h.size);
           }
         }
@@ -464,6 +463,8 @@ int64_t mg_mp4_write_tags(const uint8_t* data, size_t len,
   size_t moov_pos;
   BoxHeader moov;
   if (!find_box(data, len, MOOV, &moov_pos, &moov)) return -1;
+  // Malformed size fields must not drive the rebuild out of bounds.
+  if (moov.size < moov.header_size || moov_pos + moov.size > len) return -1;
   const size_t moov_cs = moov_pos + moov.header_size;
   const size_t moov_sz = static_cast<size_t>(moov.content_size());
   const size_t moov_end = moov_pos + static_cast<size_t>(moov.size);
@@ -473,8 +474,12 @@ int64_t mg_mp4_write_tags(const uint8_t* data, size_t len,
 
   size_t udta_pos = 0;
   BoxHeader udta;
-  const bool have_udta =
+  bool have_udta =
       find_box_in(data, len, moov_cs, moov_sz, UDTA, &udta_pos, &udta);
+  if (have_udta &&
+      (udta.size < udta.header_size || udta_pos + udta.size > len)) {
+    return -1;
+  }
 
   bool placed = false;
   if (have_udta) {
@@ -482,12 +487,15 @@ int64_t mg_mp4_write_tags(const uint8_t* data, size_t len,
     const size_t udta_sz = static_cast<size_t>(udta.content_size());
     size_t meta_pos = 0;
     BoxHeader meta;
-    if (find_box_in(data, len, udta_cs, udta_sz, META, &meta_pos, &meta)) {
+    if (find_box_in(data, len, udta_cs, udta_sz, META, &meta_pos, &meta) &&
+        meta.content_size() >= 4 &&
+        meta_pos + meta.size <= len) {
       const size_t meta_cs = meta_pos + meta.header_size + 4;
       const size_t meta_sz = static_cast<size_t>(meta.content_size()) - 4;
       size_t ilst_pos = 0;
       BoxHeader ilst;
-      if (find_box_in(data, len, meta_cs, meta_sz, ILST, &ilst_pos, &ilst)) {
+      if (find_box_in(data, len, meta_cs, meta_sz, ILST, &ilst_pos, &ilst) &&
+          ilst.size >= ilst.header_size && ilst_pos + ilst.size <= len) {
         // Existing ilst: replace, preserving non-RG tags (mp4meta.rs:450-474).
         const size_t ilst_cs = ilst_pos + ilst.header_size;
         const size_t ilst_sz = static_cast<size_t>(ilst.content_size());

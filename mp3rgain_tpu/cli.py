@@ -96,6 +96,11 @@ class Options:
     use_temp_file: bool = False
     assume_mpeg2: bool = False
 
+    # TPU batch-scan knobs (long flags only; the mp3gain short-flag
+    # namespace stays untouched, SURVEY.md §5).
+    batch_mode: str = "auto"  # auto | always | never
+    manifest: str | None = None
+
     files: list[Path] = field(default_factory=list)
 
 
@@ -132,6 +137,22 @@ def parse_args(args: list[str]) -> Options:
 
         if arg == "--dry-run":
             opts.dry_run = True
+            i += 1
+            continue
+        if arg == "--batch":
+            opts.batch_mode = "always"
+            i += 1
+            continue
+        if arg == "--no-batch":
+            opts.batch_mode = "never"
+            i += 1
+            continue
+        if arg == "--manifest":
+            i += 1
+            if i >= len(args):
+                _err("--manifest requires an argument")
+                raise SystemExit(1)
+            opts.manifest = args[i]
             i += 1
             continue
         if arg == "--help":
@@ -780,6 +801,34 @@ def _require_replaygain() -> None:
         raise SystemExit(1)
 
 
+def _use_batch(files: list[Path], opts: Options) -> bool:
+    from .scan import BATCH_THRESHOLD
+
+    if opts.batch_mode == "never":
+        return False
+    if opts.batch_mode == "always":
+        return True
+    return len(files) >= BATCH_THRESHOLD
+
+
+def _batch_scan(files: list[Path], opts: Options):
+    """Batched analysis with the audio-hours/sec meter; returns ScanResult."""
+    from . import scan as scan_mod
+
+    result = scan_mod.scan_files(files, manifest_path=opts.manifest)
+    if opts.output_format == OutputFormat.TEXT and not opts.quiet:
+        print(
+            f"  {colorize('->', Color.CYAN)} analyzed "
+            f"{result.audio_seconds / 3600.0:.2f} audio-hours in "
+            f"{result.wall_seconds:.1f}s "
+            f"({result.realtime_factor:.0f}x real-time, "
+            f"{result.audio_hours_per_sec:.2f} audio-hours/sec"
+            + (f", {result.resumed} resumed from manifest" if result.resumed else "")
+            + ")"
+        )
+    return result
+
+
 def cmd_track_gain(files: list[Path], opts: Options) -> int:
     _require_replaygain()
     dry_run_prefix = "[DRY RUN] " if opts.dry_run else ""
@@ -791,13 +840,16 @@ def cmd_track_gain(files: list[Path], opts: Options) -> int:
             print(f"  Gain modifier: {opts.gain_modifier:+} steps")
         print()
 
+    scanned = _batch_scan(files, opts) if _use_batch(files, opts) else None
+
     pb = create_progress_bar(len(files), opts)
     json_results = []
     counters = [0, 0]
 
     for f in files:
         _pb_msg(pb, get_filename(f))
-        result = process_track_gain(f, opts)
+        pre = scanned.results.get(str(f)) if scanned else None
+        result = process_track_gain(f, opts, precomputed=pre)
         update_counters(result, counters)
         if opts.output_format == OutputFormat.JSON:
             json_results.append(result)
@@ -823,7 +875,25 @@ def cmd_album_gain(files: list[Path], opts: Options) -> int:
         print(f"  {colorize('->', Color.CYAN)} Analyzing tracks...")
 
     try:
-        album_result = replaygain.analyze_album_with_index(files, opts.track_index)
+        if _use_batch(files, opts):
+            from . import scan as scan_mod
+            from .replaygain import AlbumGainResult
+
+            scanned = _batch_scan(files, opts)
+            failures = [
+                (p, r) for p, r in scanned.results.items() if isinstance(r, Exception)
+            ]
+            if failures:
+                raise RuntimeError(f"{failures[0][0]}: {failures[0][1]}")
+            loud, gain, peak = scan_mod.album_union(scanned, files)
+            album_result = AlbumGainResult(
+                tracks=[scanned.results[str(f)] for f in files],
+                album_loudness_db=loud,
+                album_gain_db=gain,
+                album_peak=peak,
+            )
+        else:
+            album_result = replaygain.analyze_album_with_index(files, opts.track_index)
     except Exception as e:
         if opts.output_format == OutputFormat.JSON:
             print_json(summary=json_summary(len(files), 0, len(files), opts.dry_run))
@@ -1125,7 +1195,7 @@ def process_undo(f: Path, opts: Options) -> dict:
         return file_result(file=str(f), status="error", error=str(e))
 
 
-def process_track_gain(f: Path, opts: Options) -> dict:
+def process_track_gain(f: Path, opts: Options, precomputed=None) -> dict:
     filename = get_filename(f)
     dry_run_prefix = "[DRY RUN] " if opts.dry_run else ""
 
@@ -1133,7 +1203,13 @@ def process_track_gain(f: Path, opts: Options) -> dict:
         print(f"  {colorize('->', Color.CYAN)} {dry_run_prefix}Analyzing {filename}...")
 
     try:
-        result = replaygain.analyze_track_with_index(f, opts.track_index)
+        if isinstance(precomputed, Exception):
+            raise precomputed
+        result = (
+            precomputed
+            if precomputed is not None
+            else replaygain.analyze_track_with_index(f, opts.track_index)
+        )
     except Exception as e:
         if opts.output_format == OutputFormat.TEXT and not opts.quiet:
             print(f"  {colorize('x', Color.RED, stream=sys.stderr)} {filename} - {e}", file=sys.stderr)

@@ -1,0 +1,177 @@
+"""Large-library scan orchestration: batched analysis + resumable manifest.
+
+Used by the CLI for big -r/-a/-R jobs: MP3 tracks are analyzed in device
+batches (mp3rgain_tpu.parallel), AAC tracks through the AAC path, results
+are optionally checkpointed to a JSON manifest keyed by (path, size,
+mtime) so a 10k-track scan can resume after interruption (SURVEY.md §5
+checkpoint/resume). The audio-hours/sec meter is a first-class output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import mp4meta
+from .ops import histogram as hi
+from .replaygain import PINK_REF, ReplayGainResult
+
+BATCH_THRESHOLD = 16  # use the batch runner at or above this many files
+
+
+@dataclass
+class ScanResult:
+    results: dict  # path(str) -> ReplayGainResult | Exception
+    histograms: dict  # path(str) -> np.ndarray (12000,) for album union
+    audio_seconds: float = 0.0
+    wall_seconds: float = 0.0
+    resumed: int = 0
+
+    @property
+    def realtime_factor(self) -> float:
+        return self.audio_seconds / max(self.wall_seconds, 1e-9)
+
+    @property
+    def audio_hours_per_sec(self) -> float:
+        return self.realtime_factor / 3600.0
+
+
+def _file_key(path) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{int(st.st_mtime)}"
+
+
+class Manifest:
+    """JSON checkpoint for scan resume (path -> analysis results)."""
+
+    def __init__(self, path: str | os.PathLike | None):
+        self.path = str(path) if path else None
+        self.data = {}
+        if self.path and os.path.exists(self.path):
+            try:
+                with open(self.path) as f:
+                    self.data = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                self.data = {}
+
+    def lookup(self, path) -> tuple[ReplayGainResult, np.ndarray] | None:
+        if not self.path:
+            return None
+        rec = self.data.get(str(path))
+        if not rec or rec.get("key") != _file_key(path):
+            return None
+        hist = np.zeros(hi.HISTOGRAM_SIZE, dtype=np.uint32)
+        for idx, count in rec.get("hist", []):
+            hist[idx] = count
+        res = ReplayGainResult(
+            loudness_db=rec["loudness_db"],
+            gain_db=rec["gain_db"],
+            peak=rec["peak"],
+            sample_rate=rec["sample_rate"],
+            file_type=rec["file_type"],
+        )
+        return res, hist
+
+    def store(self, path, res: ReplayGainResult, hist: np.ndarray) -> None:
+        if not self.path:
+            return
+        nz = np.nonzero(hist)[0]
+        self.data[str(path)] = {
+            "key": _file_key(path),
+            "loudness_db": res.loudness_db,
+            "gain_db": res.gain_db,
+            "peak": res.peak,
+            "sample_rate": res.sample_rate,
+            "file_type": res.file_type,
+            "hist": [[int(i), int(hist[i])] for i in nz],
+        }
+
+    def save(self) -> None:
+        if not self.path:
+            return
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f)
+        os.replace(tmp, self.path)
+
+
+def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
+    """Analyze many files with batching, fault isolation, and resume."""
+    from .parallel import runner as parallel_runner
+
+    t0 = time.monotonic()
+    manifest = Manifest(manifest_path)
+    out = ScanResult(results={}, histograms={})
+
+    todo_mp3 = []
+    todo_aac = []
+    for p in paths:
+        cached = None
+        try:
+            cached = manifest.lookup(p)
+        except OSError as e:
+            out.results[str(p)] = e
+            continue
+        if cached is not None:
+            res, hist = cached
+            out.results[str(p)] = res
+            out.histograms[str(p)] = hist
+            out.resumed += 1
+            continue
+        (todo_aac if mp4meta.is_mp4_file(p) else todo_mp3).append(p)
+
+    if todo_mp3:
+        runner = parallel_runner.MeshRunner()
+        batch = parallel_runner.analyze_library(todo_mp3, runner=runner)
+        out.audio_seconds += batch.audio_seconds
+        for track in batch.tracks:
+            if track.ok:
+                out.results[track.path] = track.result
+                hist = np.asarray(track.histogram)
+                out.histograms[track.path] = hist
+                manifest.store(track.path, track.result, hist)
+            else:
+                out.results[track.path] = RuntimeError(track.error)
+            if progress_cb:
+                progress_cb(track.path)
+
+    for p in todo_aac:
+        try:
+            from . import aac
+
+            internal = aac.analyze_track_internal(p)
+            out.results[str(p)] = internal.result
+            hist = np.asarray(internal.histogram)
+            out.histograms[str(p)] = hist
+            manifest.store(str(p), internal.result, hist)
+            dur = 0.0
+            if internal.result.sample_rate:
+                dur = hist.sum() * 0.05  # ~windows × 50 ms
+            out.audio_seconds += dur
+        except Exception as e:
+            out.results[str(p)] = e
+        if progress_cb:
+            progress_cb(str(p))
+
+    manifest.save()
+    out.wall_seconds = time.monotonic() - t0
+    return out
+
+
+def album_union(scan: ScanResult, paths) -> tuple[float, float, float]:
+    """(album_loudness, album_gain, album_peak) from per-track histograms."""
+    total = np.zeros(hi.HISTOGRAM_SIZE, dtype=np.uint64)
+    peak = 0.0
+    for p in paths:
+        res = scan.results.get(str(p))
+        hist = scan.histograms.get(str(p))
+        if hist is None or isinstance(res, Exception):
+            continue
+        total += hist.astype(np.uint64)
+        peak = max(peak, res.peak)
+    loud = hi.loudness_from_histogram(total)
+    return loud, PINK_REF - loud, peak
