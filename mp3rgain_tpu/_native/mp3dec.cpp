@@ -504,7 +504,10 @@ void decode_spectrum(BitReader* br, size_t part2_3_end_bit,
 
   int region1_start, region2_start;
   if (gi.window_switching && gi.block_type == 2) {
-    region1_start = 36;
+    // Implied region0 = 9 window-bands = 3 short sfbs x 3 windows;
+    // rate-dependent (72 at 8 kHz where short bands are 8 wide).
+    const uint8_t* bs = kBandSizeShort[h.sr_row()];
+    region1_start = 3 * (bs[0] + bs[1] + bs[2]);
     region2_start = 576;
   } else if (gi.window_switching) {
     region1_start = long_index[8];
@@ -678,6 +681,7 @@ int64_t mg_mp3_unpack(const uint8_t* data, size_t len, int32_t* info,
         int intensity_scale = 0;
         int big_end = 0, count1_end = 0;
         bool ok = reservoir_ok;
+        size_t reservoir_bit_check = 0;
         if (ok) {
           BitReader br{reservoir.data(), reservoir.size(), gr_bit};
           const size_t end_bit = gr_bit + gi.part2_3_length;
@@ -694,6 +698,7 @@ int64_t mg_mp3_unpack(const uint8_t* data, size_t len, int32_t* info,
             decode_spectrum(&br, end_bit, gi, h, ris, &big_end, &count1_end);
           }
           ok = !br.overrun && br.bit <= end_bit + 64;
+          reservoir_bit_check = end_bit - br.bit;  // unused-bit slack
           gr_bit += gi.part2_3_length;
           if (!h.lsf()) {
             memcpy(prev_scf[ch], rscf, kScfSlots * sizeof(int32_t));
@@ -723,6 +728,7 @@ int64_t mg_mp3_unpack(const uint8_t* data, size_t len, int32_t* info,
         rinfo[GCH_BIG_END] = big_end;
         rinfo[GCH_COUNT1_END] = count1_end;
         rinfo[GCH_VALID] = ok ? 1 : 0;
+        rinfo[21] = static_cast<int32_t>(reservoir_bit_check);  // slack
         rinfo[GCH_INTENSITY_SCALE] = intensity_scale;
         rinfo[GCH_NCHANNELS] = nch;
       }

@@ -245,6 +245,11 @@ def generate_standard_fixtures(out_dir: os.PathLike | str) -> Path:
         "test_mpeg2_22050.mp3": dict(sr=22050, mode=MODE_JOINT, bitrate=64, ch=2),
         "test_mpeg25_11025.mp3": dict(sr=11025, mode=MODE_MONO, bitrate=32, ch=1),
         "test_48000.mp3": dict(sr=48000, mode=MODE_STEREO, bitrate=192, ch=2),
+        "test_32000.mp3": dict(sr=32000, mode=MODE_JOINT, bitrate=96, ch=2),
+        "test_mpeg2_24000.mp3": dict(sr=24000, mode=MODE_JOINT, bitrate=64, ch=2),
+        "test_mpeg2_16000.mp3": dict(sr=16000, mode=MODE_MONO, bitrate=32, ch=1),
+        "test_mpeg25_12000.mp3": dict(sr=12000, mode=MODE_JOINT, bitrate=40, ch=2),
+        "test_mpeg25_8000.mp3": dict(sr=8000, mode=MODE_MONO, bitrate=16, ch=1),
     }
     for name, s in specs.items():
         path = out / name

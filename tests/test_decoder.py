@@ -22,6 +22,11 @@ FIXTURES = [
     "test_mpeg2_22050.mp3",
     "test_mpeg25_11025.mp3",
     "test_48000.mp3",
+    "test_32000.mp3",
+    "test_mpeg2_24000.mp3",
+    "test_mpeg2_16000.mp3",
+    "test_mpeg25_12000.mp3",
+    "test_mpeg25_8000.mp3",
 ]
 
 
@@ -38,6 +43,36 @@ def test_decode_matches_mpg123(fixtures_dir, name):
     rms_ref = np.sqrt((ref[:, :n] ** 2).mean())
     # Oracle emits float32; our float32 path adds similar noise.
     assert err.max() < max(3e-5, 3e-5 * rms_ref), (err.max(), rms_ref)
+
+
+@pytest.mark.parametrize("sr,bitrate", [(8000, 16), (24000, 32), (22050, 32), (44100, 64)])
+def test_decode_short_block_stress(sr, bitrate, tmp_path):
+    """Impulsive content forcing short blocks with real scalefactors and
+    subblock gains at LSF rates (regression: the implied window-switch
+    region boundary is 3*si[3] = 72 at 8 kHz, not a fixed 36).
+
+    mpg123 itself deviates from ffmpeg/our decoder by ~2e-3 at 24 kHz in
+    this regime (verified three-way), so the bound is looser than the
+    fixture tests."""
+    import numpy as np
+
+    from mp3rgain_tpu.testing import fixtures as fx
+
+    rng = np.random.default_rng(3)
+    n = sr
+    t = np.arange(n) / sr
+    x = 0.02 * rng.standard_normal(n)
+    for k in range(8):
+        s = int(k * n / 8)
+        x[s : s + 200] += 0.8 * np.sin(2 * np.pi * 1000 * t[:200]) * np.hanning(200)
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    p = tmp_path / "stress.mp3"
+    p.write_bytes(fx.encode_mp3(pcm, sr, bitrate=bitrate, mode=fx.MODE_MONO))
+    mine, _ = synthesis.decode_file(p, dtype=jnp.float32)
+    ref = mpg123.decode_file(p)[0].T
+    nn = min(mine.shape[1], ref.shape[1])
+    err = np.abs(mine[:, :nn] - ref[:, :nn]).max()
+    assert err < 5e-3, err
 
 
 def test_frontend_gains_match_l0_scan(fixtures_dir):
