@@ -109,6 +109,20 @@ def _decode_jit(spec, window_seq, window_shape, n_channels, dtype):
 
     f = spec.shape[0]
     x = spec.astype(dtype)
+    return _decode_body(x, window_seq, window_shape, n_channels, dtype,
+                        m_long, w_long, m_short)
+
+
+def _decode_body(x, window_seq, window_shape, n_channels, dtype,
+                 m_long, w_long, m_short):
+    with jax.default_matmul_precision("float32"):
+        return _decode_inner(x, window_seq, window_shape, n_channels, dtype,
+                             m_long, w_long, m_short)
+
+
+def _decode_inner(x, window_seq, window_shape, n_channels, dtype,
+                  m_long, w_long, m_short):
+    f = x.shape[0]
 
     # Previous frame's shape per channel (records are channel-paired).
     shape = window_shape

@@ -363,11 +363,14 @@ def _decode_jit(spectrum, scf, kind, sr_row_arr, global_gain, scalefac_scale,
     )
     rt = row_tables(sr_row)
     masks = _class_masks(b.kind)
-    xr = _requantize(b, rt, masks, dtype)
-    xr = _stereo(b, xr, rt, masks, dtype)
-    xr = _alias(b, xr, masks, dtype)
-    out18 = _imdct_overlap(b, xr, dtype)
-    return _synthesis(out18, dtype)
+    # f32 matmul compute throughout: bf16 default precision costs real
+    # loudness accuracy through IMDCT/synthesis.
+    with jax.default_matmul_precision("float32"):
+        xr = _requantize(b, rt, masks, dtype)
+        xr = _stereo(b, xr, rt, masks, dtype)
+        xr = _alias(b, xr, masks, dtype)
+        out18 = _imdct_overlap(b, xr, dtype)
+        return _synthesis(out18, dtype)
 
 
 def decode_batch(b: GranuleBatch, sr_row: int, dtype=jnp.float32) -> jnp.ndarray:

@@ -218,6 +218,14 @@ def _equal_loudness_jit(x, sample_rate: int, block: int):
     plan = filter_plan(sample_rate)
     dtype = x.dtype
     y = x
+    # The blocked recurrences cancel heavily; TPU's default bf16 matmul
+    # precision costs ~0.05 dB of loudness accuracy. Force f32 compute.
+    with jax.default_matmul_precision("float32"):
+        y = _equal_loudness_body(y, plan, dtype, block)
+    return y
+
+
+def _equal_loudness_body(y, plan, dtype, block):
     for i, section in enumerate(plan.sos):
         if i == len(plan.sos) - 1:
             # Denormal-prevention constant of the reference (injected at
