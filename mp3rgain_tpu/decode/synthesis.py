@@ -207,9 +207,10 @@ def _stereo(b: GranuleBatch, xr, rt, masks, dtype):
     kl1 = jnp.where(is_pos == 6.0, 1.0, tan / (1.0 + tan))
     kr1 = jnp.where(is_pos == 6.0, 0.0, 1.0 / (1.0 + tan))
 
-    # LSF intensity (ISO 13818-3 2.4.3.2).
+    # LSF intensity (ISO 13818-3 2.4.3.2). intensity_scale is parsed from
+    # ch1's scalefac_compress, so it lives in the ch1 record.
     io = jnp.where(
-        g0(b.intensity_scale)[:, None] == 1, dtype(_SQRT2_INV), dtype(2.0**-0.25)
+        b.intensity_scale[1::2][:, None] == 1, dtype(_SQRT2_INV), dtype(2.0**-0.25)
     )
     half_up = jnp.floor((is_pos + 1.0) * 0.5)
     k_odd = io**half_up

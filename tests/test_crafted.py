@@ -1,0 +1,128 @@
+"""Decoder validation on hand-crafted streams (modes no encoder emits).
+
+lame never produces intensity stereo or mixed blocks, so these paths are
+validated against libmpg123 on frames built bit-by-bit in
+`mp3rgain_tpu.testing.craft`:
+
+- MPEG1 intensity stereo (mode_extension 1/3), is_pos 0..6 plus the
+  illegal 7 (band passed through unchanged);
+- LSF intensity stereo with both intensity_scale values (the io base
+  2^-1/4 vs 2^-1/2 split, ISO 13818-3 2.4.3.2);
+- mixed blocks (window_switching, block_type 2, mixed_block_flag): long
+  lower subbands + short upper region with subblock gains.
+
+Reference decoder semantics: /root/reference minimp3 intensity/mixed
+handling (decoder used by the reference's analyze path).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from mp3rgain_tpu.decode import synthesis
+from mp3rgain_tpu.testing import craft, mpg123
+
+
+def _compare(data: bytes, bound: float, trim: int = 1200):
+    with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        ref, sr_ref = mpg123.decode_file(path)
+        ref = np.asarray(ref).T
+        pcm, sr = synthesis.decode_file(path)
+        pcm = np.asarray(pcm)
+        assert sr == sr_ref
+        assert ref.shape[1] == pcm.shape[1]
+        a = ref[:, trim:-trim]
+        b = pcm[:, trim:-trim]
+        err = np.abs(a - b).max()
+        rms = np.sqrt((a**2).mean())
+        assert rms > 0.01, "crafted stream decoded to silence"
+        assert err < bound, f"max|err|={err:.3e}"
+        return path, a, b
+    finally:
+        os.unlink(path)
+
+
+@pytest.mark.parametrize("mode_ext", [1, 2, 3])
+def test_mpeg1_joint_stereo_modes(mode_ext):
+    ch1 = [0, 1, 2] if mode_ext in (2, 3) else ()
+    data = craft.craft_intensity_stream(40, mode_extension=mode_ext, ch1_bands=ch1)
+    _compare(data, 5e-6)
+
+
+def test_mpeg1_intensity_is_asymmetric():
+    """Varied is_pos must produce distinct L/R energy (proves IS fired)."""
+    data = craft.craft_intensity_stream(40, mode_extension=1)
+    with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        pcm = np.asarray(synthesis.decode_file(path)[0])
+    finally:
+        os.unlink(path)
+    e = (pcm[:, 1200:-1200] ** 2).mean(axis=1)
+    assert abs(e[0] - e[1]) / e.max() > 0.2
+
+
+@pytest.mark.parametrize("iscale", [0, 1])
+def test_lsf_intensity(iscale):
+    data = craft.craft_lsf_intensity_stream(80, intensity_scale=iscale)
+    _compare(data, 5e-6)
+
+
+def test_lsf_intensity_scale_changes_output():
+    """Regression: intensity_scale lives in the ch1 record; reading it from
+    ch0 made both scales decode identically."""
+    outs = []
+    for iscale in (0, 1):
+        data = craft.craft_lsf_intensity_stream(40, intensity_scale=iscale)
+        with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            outs.append(np.asarray(synthesis.decode_file(path)[0]))
+        finally:
+            os.unlink(path)
+    assert np.abs(outs[0] - outs[1]).max() > 1e-3
+
+
+@pytest.mark.parametrize("sbg", [(0, 0, 0), (0, 1, 2), (7, 3, 1)])
+def test_mixed_blocks(sbg):
+    data = craft.craft_mixed_block_stream(40, subblock_gain=sbg)
+    _compare(data, 1e-6)
+
+
+def test_crafted_through_batch_runner():
+    """The batch runner's device field derivation must handle intensity
+    and mixed-block records identically to the single-track path."""
+    from mp3rgain_tpu import analysis
+    from mp3rgain_tpu.parallel import analyze_library
+
+    files = []
+    tmp = tempfile.mkdtemp()
+    streams = {
+        "is.mp3": craft.craft_intensity_stream(40, mode_extension=1),
+        "msis.mp3": craft.craft_intensity_stream(
+            40, mode_extension=3, ch1_bands=[0, 1, 2]
+        ),
+        "mixed.mp3": craft.craft_mixed_block_stream(40),
+        "lsf.mp3": craft.craft_lsf_intensity_stream(80, intensity_scale=1),
+    }
+    for name, data in streams.items():
+        p = os.path.join(tmp, name)
+        with open(p, "wb") as f:
+            f.write(data)
+        files.append(p)
+
+    batch = analyze_library(files)
+    for p, outcome in zip(files, batch.tracks):
+        single = analysis.analyze_track_internal(p)
+        assert outcome.ok, outcome.error
+        assert outcome.result.loudness_db == pytest.approx(
+            single.result.loudness_db, abs=1e-6
+        ), p
+        assert outcome.result.peak == pytest.approx(single.result.peak, rel=1e-6), p
