@@ -16,7 +16,9 @@ lane; it cannot poison the scan.
 
 from __future__ import annotations
 
+import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -33,6 +35,14 @@ from ..ops import iir
 from ..replaygain import PINK_REF, ReplayGainResult
 
 SAMPLE_SCALE_16BIT = 32768.0
+
+
+def _result_of(fn, *args):
+    """(value, None) on success, (None, str(error)) on failure."""
+    try:
+        return fn(*args), None
+    except Exception as e:  # per-file isolation
+        return None, str(e)
 
 
 # ---------------------------------------------------------------------------
@@ -325,16 +335,30 @@ def analyze_library(
     buckets: dict[tuple[int, int], list[tuple[int, fe.UnpackedMp3]]] = {}
     audio_seconds = 0.0
 
-    for i, path in enumerate(paths):
-        try:
-            u = fe.unpack_file(path)
-            if u.n == 0:
-                raise RuntimeError("No valid MP3 frames found")
-            sr, nch = u.sample_rate, u.n_channels
-            buckets.setdefault((sr, nch), []).append((i, u))
-            audio_seconds += (u.n // nch) * 576 / sr
-        except Exception as e:  # per-file isolation
-            outcomes[i] = TrackOutcome(path=str(path), ok=False, error=str(e))
+    # Host entropy decode scales across cores: the native unpack runs
+    # without the GIL (ctypes foreign call), so a thread pool gives
+    # near-linear speedup on multi-core hosts (no-op on one core).
+    def _unpack(path):
+        u = fe.unpack_file(path)
+        if u.n == 0:
+            raise RuntimeError("No valid MP3 frames found")
+        return u
+
+    paths = list(paths)
+    workers = min(len(paths), os.cpu_count() or 1, 16)
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            unpacked = list(pool.map(lambda p: _result_of(_unpack, p), paths))
+    else:
+        unpacked = [_result_of(_unpack, p) for p in paths]
+
+    for i, (path, (u, err)) in enumerate(zip(paths, unpacked)):
+        if err is not None:
+            outcomes[i] = TrackOutcome(path=str(path), ok=False, error=err)
+            continue
+        sr, nch = u.sample_rate, u.n_channels
+        buckets.setdefault((sr, nch), []).append((i, u))
+        audio_seconds += (u.n // nch) * 576 / sr
 
     album_hist_dev = None
     for (sr, nch), members in buckets.items():
