@@ -187,7 +187,7 @@ struct TnsData {
 struct Channel {
   IcsInfo ics;
   int global_gain = 0;
-  int dbg_flags = 0;  // 1=tns, 2=pns, 4=intensity, 8=esc
+  int dbg_flags = 0;  // 1=tns, 2=pns, 4=intensity, 8=esc, 16=pulse
   uint8_t band_cb[8][64] = {};   // codebook per group/sfb
   double sf[8][64] = {};         // linear scalefactor gain per group/sfb
   int is_pos[8][64] = {};        // intensity positions
@@ -359,7 +359,7 @@ void parse_tns_data(BitReader* br, const IcsInfo& ics, TnsData* tns) {
 }
 
 // Spectral data for one channel.
-bool parse_spectral_data(BitReader* br, Channel* ch) {
+bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
   const IcsInfo& ics = ch->ics;
   const VlcSet& v = vlcs();
   // coefficients in decode (grouped/interleaved) order
@@ -428,6 +428,24 @@ bool parse_spectral_data(BitReader* br, Channel* ch) {
     group_offset += glen * 128;
   }
 
+  // Pulses (ISO 14496-3 4.6.3.3): add to the quantized magnitudes before
+  // requantization. Only legal for long windows, where the grouped decode
+  // order above equals the natural spectral order, so positions index
+  // `coef` directly. A zero quantized value takes the negative amplitude.
+  if (pulse && pulse->num > 0) {
+    if (pulse->start_sfb > ics.num_swb) return false;
+    int k = ics.swb_offset[pulse->start_sfb];
+    for (int j = 0; j < pulse->num; ++j) {
+      k += pulse->offset[j];
+      if (k >= 1024) return false;
+      if (coef[k] > 0) {
+        coef[k] += static_cast<float>(pulse->amp[j]);
+      } else {
+        coef[k] -= static_cast<float>(pulse->amp[j]);
+      }
+    }
+  }
+
   // Requantize + map grouped/interleaved order to natural window order.
   group_offset = 0;
   for (int g = 0; g < ics.num_window_groups; ++g) {
@@ -459,9 +477,7 @@ bool parse_spectral_data(BitReader* br, Channel* ch) {
   return true;
 }
 
-// Apply pulses (long windows only; added to quantized values pre-requant —
-// handled approximately post-hoc here since lame/ffmpeg encoders rarely
-// emit pulses; the oracle comparison bounds any error).
+// TNS synthesis filtering per window (all-pole, direction-aware).
 void apply_tns(Channel* ch) {
   const IcsInfo& ics = ch->ics;
   if (!ch->tns_present) return;
@@ -587,16 +603,16 @@ bool parse_ics(BitReader* br, int sr_index, bool common_window,
   }
   if (!parse_section_data(br, ch)) return false;
   if (!parse_scale_factor_data(br, ch)) return false;
+  PulseData pulse;
   if (br->get(1)) {  // pulse_data_present
-    PulseData p;
-    parse_pulse_data(br, &p);
-    // Pulses add to quantized values before requant; encoders here don't
-    // emit them, decode continues without applying (bounded by oracle).
+    parse_pulse_data(br, &pulse);
+    if (ch->ics.window_sequence == EIGHT_SHORT) return false;  // illegal
+    ch->dbg_flags |= 16;
   }
   ch->tns_present = br->get(1);
   if (ch->tns_present) parse_tns_data(br, ch->ics, &ch->tns);
   if (br->get(1)) return false;  // gain_control: not LC
-  return parse_spectral_data(br, ch);
+  return parse_spectral_data(br, ch, &pulse);
 }
 
 }  // namespace

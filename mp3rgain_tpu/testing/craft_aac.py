@@ -1,0 +1,112 @@
+"""Hand-crafted AAC-LC ADTS streams for paths no encoder emits (pulses).
+
+Builds a syntactically complete single-SCE raw_data_block bit-by-bit:
+long windows, codebook 1 spectra, optional pulse_data. Huffman code
+tables are read back from the generated `_native/aac_tables.h` so the
+crafter stays in sync with the decoder.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from pathlib import Path
+
+from .craft import BitWriter
+
+_TABLES_H = Path(__file__).resolve().parent.parent / "_native" / "aac_tables.h"
+
+# 44.1 kHz long-window swb offsets (first bands, width 4 each).
+SWB_OFFSET_44_LONG = [0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 48]
+
+
+@lru_cache(maxsize=None)
+def _array(name: str) -> list[int]:
+    text = _TABLES_H.read_text()
+    m = re.search(rf"{name}\[\d+\] = \{{\n  ([^}}]*)\n\}};", text)
+    assert m, name
+    return [int(x) for x in m.group(1).split(",")]
+
+
+def _put_cb1_quad(bw: BitWriter, quad) -> None:
+    """Codebook 1: dim 4, signed, lav 1 (values in -1..1, no sign bits)."""
+    assert len(quad) == 4 and all(-1 <= v <= 1 for v in quad)
+    idx = 0
+    for v in quad:
+        idx = idx * 3 + (v + 1)
+    codes, lens = _array("kAacSpecCode1"), _array("kAacSpecLen1")
+    bw.put(codes[idx], lens[idx])
+
+
+def craft_sce_frame(
+    band_quads: list[tuple[int, int, int, int]],
+    pulses: list[tuple[int, int]] | None = None,
+    pulse_start_sfb: int = 0,
+    global_gain: int = 100,
+) -> bytes:
+    """One ADTS frame: SCE, 44.1 kHz, ONLY_LONG, sine shape.
+
+    band_quads: one 4-value tuple per coded band (codebook 1, the first
+    len(band_quads) sfbs, width 4 each at 44.1 kHz).
+    pulses: up to 4 (offset, amp) pairs; positions accumulate from
+    swb_offset[pulse_start_sfb] (ISO 14496-3 4.6.3.3).
+    """
+    max_sfb = len(band_quads)
+    assert 1 <= max_sfb <= 11
+
+    bw = BitWriter()
+    bw.put(0, 3)  # id_syn_ele = SCE
+    bw.put(0, 4)  # element_instance_tag
+    bw.put(global_gain, 8)
+    # ics_info
+    bw.put(0, 1)  # ics_reserved
+    bw.put(0, 2)  # window_sequence = ONLY_LONG
+    bw.put(0, 1)  # window_shape = sine
+    bw.put(max_sfb, 6)
+    bw.put(0, 1)  # predictor_data_present
+    # section_data: one section, codebook 1, covering all bands
+    bw.put(1, 4)  # sect_cb
+    bw.put(max_sfb, 5)  # sect_len (long windows: 5 bits, esc at 31)
+    # scale_factor_data: dscf=0 per band (sf == global_gain everywhere)
+    sf_codes, sf_lens = _array("kAacSfCode"), _array("kAacSfLen")
+    for _ in range(max_sfb):
+        bw.put(sf_codes[60], sf_lens[60])
+    # pulse_data
+    if pulses:
+        assert 1 <= len(pulses) <= 4
+        bw.put(1, 1)
+        bw.put(len(pulses) - 1, 2)
+        bw.put(pulse_start_sfb, 6)
+        for off, amp in pulses:
+            assert 0 <= off < 32 and 0 <= amp < 16
+            bw.put(off, 5)
+            bw.put(amp, 4)
+    else:
+        bw.put(0, 1)
+    bw.put(0, 1)  # tns_data_present
+    bw.put(0, 1)  # gain_control_data_present
+    for quad in band_quads:
+        _put_cb1_quad(bw, quad)
+    bw.put(7, 3)  # id_syn_ele = END
+    payload = bw.bytes()
+
+    frame_len = len(payload) + 7
+    h = BitWriter()
+    h.put(0xFFF, 12)  # syncword
+    h.put(0, 1)   # MPEG-4
+    h.put(0, 2)   # layer
+    h.put(1, 1)   # protection_absent
+    h.put(1, 2)   # profile: AAC-LC
+    h.put(4, 4)   # sampling_frequency_index: 44100
+    h.put(0, 1)   # private
+    h.put(1, 3)   # channel_configuration: mono
+    h.put(0, 2)   # original/home
+    h.put(0, 2)   # copyright id bit/start
+    h.put(frame_len, 13)
+    h.put(0x7FF, 11)  # buffer fullness: VBR
+    h.put(0, 2)   # raw_data_blocks - 1
+    return h.bytes() + payload
+
+
+def craft_sce_stream(n_frames: int = 40, **kw) -> bytes:
+    return craft_sce_frame(**kw) * n_frames
