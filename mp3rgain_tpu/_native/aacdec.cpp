@@ -170,6 +170,7 @@ struct IcsInfo {
   int num_swb = 0;
   const uint16_t* swb_offset = nullptr;
   int swb_size = 0;  // 1024 or 128
+  int tns_max_bands = 64;  // ISO 14496-3 table 4.139, per sr index
 };
 
 struct TnsFilter {
@@ -220,6 +221,7 @@ bool parse_ics_info(BitReader* br, int sr_index, IcsInfo* ics) {
     ics->num_swb = kNumSwbShort[sr_index];
     ics->swb_offset = kSwbShort[sr_index];
     ics->swb_size = 128;
+    ics->tns_max_bands = kAacTnsMaxBandsShort[sr_index];
   } else {
     ics->max_sfb = br->get(6);
     ics->num_windows = 1;
@@ -228,6 +230,7 @@ bool parse_ics_info(BitReader* br, int sr_index, IcsInfo* ics) {
     ics->num_swb = kNumSwbLong[sr_index];
     ics->swb_offset = kSwbLong[sr_index];
     ics->swb_size = 1024;
+    ics->tns_max_bands = kAacTnsMaxBandsLong[sr_index];
     if (br->get(1)) return false;  // predictor_data_present: not LC
   }
   return ics->max_sfb <= ics->num_swb;
@@ -481,8 +484,6 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
 void apply_tns(Channel* ch) {
   const IcsInfo& ics = ch->ics;
   if (!ch->tns_present) return;
-  const int mmm_max = ics.window_sequence == EIGHT_SHORT ? 7 : 20;  // tns max order
-  (void)mmm_max;
   for (int w = 0; w < ics.num_windows; ++w) {
     int bottom = ics.num_swb;
     for (int f = 0; f < ch->tns.n_filt[w]; ++f) {
@@ -490,7 +491,10 @@ void apply_tns(Channel* ch) {
       const int top = bottom;
       bottom = top - fl.length < 0 ? 0 : top - fl.length;
       if (fl.order == 0) continue;
-      const int max_band = ics.num_swb;
+      // Band range is clipped against min(tns_max_bands, max_sfb)
+      // (ISO 14496-3 4.6.9.2).
+      const int max_band =
+          ics.max_sfb < ics.tns_max_bands ? ics.max_sfb : ics.tns_max_bands;
       const int start_b = bottom < max_band ? bottom : max_band;
       const int end_b = top < max_band ? top : max_band;
       int start = ics.swb_offset[start_b];

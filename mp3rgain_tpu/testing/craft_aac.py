@@ -1,9 +1,10 @@
-"""Hand-crafted AAC-LC ADTS streams for paths no encoder emits (pulses).
+"""Hand-crafted AAC-LC ADTS streams for paths no encoder emits
+(pulse data; TNS filters spanning past tns_max_bands).
 
 Builds a syntactically complete single-SCE raw_data_block bit-by-bit:
-long windows, codebook 1 spectra, optional pulse_data. Huffman code
-tables are read back from the generated `_native/aac_tables.h` so the
-crafter stays in sync with the decoder.
+long windows, codebook 1 spectra, optional pulse_data and tns_data.
+Huffman code tables are read back from the generated
+`_native/aac_tables.h` so the crafter stays in sync with the decoder.
 """
 
 from __future__ import annotations
@@ -12,12 +13,13 @@ import re
 from functools import lru_cache
 from pathlib import Path
 
+from ..decode.aac_format_tables import SWB_1024_MAP, SWB_LONG_TABLES
 from .craft import BitWriter
 
 _TABLES_H = Path(__file__).resolve().parent.parent / "_native" / "aac_tables.h"
 
-# 44.1 kHz long-window swb offsets (first bands, width 4 each).
-SWB_OFFSET_44_LONG = [0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 48]
+# 44.1 kHz (sampling frequency index 4) long-window swb offsets, 49 bands.
+SWB_44_LONG = SWB_LONG_TABLES[SWB_1024_MAP[4]]
 
 
 @lru_cache(maxsize=None)
@@ -39,20 +41,34 @@ def _put_cb1_quad(bw: BitWriter, quad) -> None:
 
 
 def craft_sce_frame(
-    band_quads: list[tuple[int, int, int, int]],
+    band_quads: list[tuple[int, int, int, int]] | None = None,
+    *,
+    n_bands: int | None = None,
+    energy: dict[int, tuple[int, int, int, int]] | None = None,
     pulses: list[tuple[int, int]] | None = None,
     pulse_start_sfb: int = 0,
+    tns: dict | None = None,
     global_gain: int = 100,
 ) -> bytes:
     """One ADTS frame: SCE, 44.1 kHz, ONLY_LONG, sine shape.
 
-    band_quads: one 4-value tuple per coded band (codebook 1, the first
-    len(band_quads) sfbs, width 4 each at 44.1 kHz).
-    pulses: up to 4 (offset, amp) pairs; positions accumulate from
+    Two spectral conventions:
+    - band_quads: one 4-value tuple per band, bands 0..len-1 (each of the
+      first 11 bands at 44.1 kHz is exactly 4 lines wide);
+    - n_bands + energy: all bands 0..n_bands-1 coded with codebook 1;
+      `energy[sfb]` is a quad repeated across that band, others zero.
+
+    pulses: up to 4 (offset, amp) pairs accumulating from
     swb_offset[pulse_start_sfb] (ISO 14496-3 4.6.3.3).
+    tns: {"length": int, "order": int, "coefs": [3-bit ints],
+    "direction": 0/1} — one long-window filter, coef_res=0, compress=0.
     """
-    max_sfb = len(band_quads)
-    assert 1 <= max_sfb <= 11
+    if band_quads is not None:
+        assert n_bands is None and energy is None
+        n_bands = len(band_quads)
+        energy = {i: q for i, q in enumerate(band_quads)}
+    energy = energy or {}
+    assert 1 <= n_bands <= 49
 
     bw = BitWriter()
     bw.put(0, 3)  # id_syn_ele = SCE
@@ -62,14 +78,19 @@ def craft_sce_frame(
     bw.put(0, 1)  # ics_reserved
     bw.put(0, 2)  # window_sequence = ONLY_LONG
     bw.put(0, 1)  # window_shape = sine
-    bw.put(max_sfb, 6)
+    bw.put(n_bands, 6)
     bw.put(0, 1)  # predictor_data_present
-    # section_data: one section, codebook 1, covering all bands
+    # section_data: one codebook-1 section covering all bands (long
+    # windows: 5-bit increments, 31 = escape-and-continue)
     bw.put(1, 4)  # sect_cb
-    bw.put(max_sfb, 5)  # sect_len (long windows: 5 bits, esc at 31)
-    # scale_factor_data: dscf=0 per band (sf == global_gain everywhere)
+    rest = n_bands
+    while rest >= 31:
+        bw.put(31, 5)
+        rest -= 31
+    bw.put(rest, 5)
+    # scale_factor_data: dscf=0 per coded band (sf == global_gain)
     sf_codes, sf_lens = _array("kAacSfCode"), _array("kAacSfLen")
-    for _ in range(max_sfb):
+    for _ in range(n_bands):
         bw.put(sf_codes[60], sf_lens[60])
     # pulse_data
     if pulses:
@@ -83,10 +104,28 @@ def craft_sce_frame(
             bw.put(amp, 4)
     else:
         bw.put(0, 1)
-    bw.put(0, 1)  # tns_data_present
+    # tns_data
+    if tns:
+        bw.put(1, 1)
+        bw.put(1, 2)  # n_filt (long: 2 bits)
+        bw.put(0, 1)  # coef_res: 3-bit coefficients
+        bw.put(tns["length"], 6)
+        bw.put(tns["order"], 5)
+        bw.put(tns.get("direction", 0), 1)
+        bw.put(0, 1)  # coef_compress
+        coefs = tns["coefs"]
+        assert len(coefs) == tns["order"]
+        for c in coefs:
+            assert 0 <= c < 8
+            bw.put(c, 3)
+    else:
+        bw.put(0, 1)
     bw.put(0, 1)  # gain_control_data_present
-    for quad in band_quads:
-        _put_cb1_quad(bw, quad)
+    for sfb in range(n_bands):
+        width = SWB_44_LONG[sfb + 1] - SWB_44_LONG[sfb]
+        quad = energy.get(sfb, (0, 0, 0, 0))
+        for _ in range(width // 4):
+            _put_cb1_quad(bw, quad)
     bw.put(7, 3)  # id_syn_ele = END
     payload = bw.bytes()
 

@@ -1,9 +1,15 @@
-"""AAC pulse-data validation on hand-crafted ADTS streams.
+"""AAC pulse-data and TNS-boundary validation on hand-crafted ADTS streams.
 
-No mainstream encoder emits pulse_data, so the pulse path (ISO 14496-3
-4.6.3.3: amplitudes added to quantized magnitudes before requantization,
-zero coefficients take the negative amplitude) is validated against
-libavcodec on frames built bit-by-bit in `testing/craft_aac.py`.
+No mainstream encoder emits pulse_data, and encoder-produced TNS filters
+never exercise the tns_max_bands clipping rule, so both paths are
+validated against libavcodec on frames built bit-by-bit in
+`testing/craft_aac.py`:
+
+- pulses (ISO 14496-3 4.6.3.3): amplitudes added to quantized magnitudes
+  before requantization, zero coefficients take the negative amplitude;
+- TNS band range clipped against min(tns_max_bands, max_sfb)
+  (ISO 14496-3 4.6.9.2), including upward-direction filters whose taps
+  would otherwise leak energy past max_sfb.
 """
 
 import numpy as np
@@ -35,6 +41,50 @@ def test_pulse_matches_avcodec(name):
     pcm, sr = aac_synthesis.decode_unpacked(u)
     pcm = np.asarray(pcm).reshape(-1)
     assert sr == 44100
+    n = min(ref.shape[0], pcm.shape[0])
+    a, b = ref[2048 : n - 2048], pcm[2048 : n - 2048]
+    rms = np.sqrt((a**2).mean())
+    assert rms > 1e-5, "crafted stream decoded to silence"
+    assert np.abs(a - b).max() < 1e-6 + 1e-3 * rms
+
+
+# Energy straddling the 44.1 kHz long-window tns_max_bands=42 boundary
+# (bands 39..44 plus low bands), TNS filters spanning the full range.
+_TNS_ENERGY = {b: (1, -1, 1, 0) for b in range(39, 45)}
+_TNS_ENERGY.update({b: (1, 0, 0, -1) for b in range(0, 8)})
+
+TNS_CASES = {
+    "in-range": dict(
+        n_bands=40,
+        energy={b: q for b, q in _TNS_ENERGY.items() if b < 40},
+        tns=dict(length=40, order=3, coefs=[5, 2, 7]),
+    ),
+    "partial-length": dict(
+        n_bands=45, energy=_TNS_ENERGY,
+        tns=dict(length=20, order=3, coefs=[5, 2, 7]),
+    ),
+    "past-max-bands": dict(
+        n_bands=45, energy=_TNS_ENERGY,
+        tns=dict(length=45, order=3, coefs=[5, 2, 7]),
+    ),
+    "upward-direction": dict(
+        n_bands=45, energy=_TNS_ENERGY,
+        tns=dict(length=45, order=2, coefs=[3, 6], direction=1),
+    ),
+    "with-pulse": dict(
+        n_bands=45, energy=_TNS_ENERGY, pulses=[(0, 4)],
+        tns=dict(length=45, order=3, coefs=[5, 2, 7]),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TNS_CASES))
+def test_tns_matches_avcodec(name):
+    data = craft_aac.craft_sce_stream(40, global_gain=140, **TNS_CASES[name])
+    ref = np.asarray(avcodec.decode_adts(data)[0]).reshape(-1)
+    pcm = np.asarray(
+        aac_synthesis.decode_unpacked(af.unpack_adts(data))[0]
+    ).reshape(-1)
     n = min(ref.shape[0], pcm.shape[0])
     a, b = ref[2048 : n - 2048], pcm[2048 : n - 2048]
     rms = np.sqrt((a**2).mean())

@@ -163,7 +163,24 @@ def extract_swb(mem, anchor):
     return swb_long, swb_short
 
 
-def emit(sf, books, swb_long, swb_short):
+def extract_tns_max_bands(mem):
+    """TNS max band limits per sampling-frequency index (ISO 14496-3
+    table 4.139). Anchored on distinctive prefixes, required unique, and
+    validated against the swb counts (limit <= num_swb + a small margin)."""
+    out = {}
+    for name, prefix in (("long", bytes([31, 31, 34, 40, 42, 51])),
+                         ("short", bytes([9, 9, 10, 14, 14, 14, 14, 14]))):
+        hits = [m.start() for m in re.finditer(re.escape(prefix), mem)]
+        # keep hits where the next 12 bytes continue plausibly (<= 52)
+        hits = [h for h in hits if all(1 <= b <= 52 for b in mem[h:h + 12])]
+        if len(hits) != 1:
+            raise RuntimeError(f"tns_max_bands {name}: {len(hits)} candidates")
+        out[name] = list(mem[hits[0]:hits[0] + 12])
+    assert out["long"][4] == 42 and out["short"][3] == 14
+    return out["long"], out["short"]
+
+
+def emit(sf, books, swb_long, swb_short, tns_long=None, tns_short=None):
     sf_codes, sf_bits = sf
     out = [
         "// AAC-LC format tables (ISO/IEC 14496-3).",
@@ -224,6 +241,14 @@ def emit(sf, books, swb_long, swb_short):
     out.append(f"static const uint16_t* kSwbShort[12] = {{{s_ptr}}};")
     s_n = ", ".join(str(SWB_128_LENS[SWB_128_MAP[i]] - 1) for i in range(12))
     out.append(f"static const int kNumSwbShort[12] = {{{s_n}}};")
+    if tns_long and tns_short:
+        out.append("")
+        out.append("// TNS max bands per sample-rate index (ISO 14496-3 "
+                   "table 4.139).")
+        out.append("static const int kAacTnsMaxBandsLong[12] = {"
+                   + ", ".join(map(str, tns_long)) + "};")
+        out.append("static const int kAacTnsMaxBandsShort[12] = {"
+                   + ", ".join(map(str, tns_short)) + "};")
     out.append("")
     out.append("#endif  // MP3RGAIN_AAC_TABLES_H")
     with open("mp3rgain_tpu/_native/aac_tables.h", "w") as f:
@@ -251,10 +276,12 @@ def main():
     anchor, sf_codes, sf_bits = extract_scalefactor_book(mem)
     books = extract_spectral_books(mem, anchor)
     swb_long, swb_short = extract_swb(mem, anchor)
-    emit((sf_codes, sf_bits), books, swb_long, swb_short)
+    tns_long, tns_short = extract_tns_max_bands(mem)
+    emit((sf_codes, sf_bits), books, swb_long, swb_short, tns_long, tns_short)
     n = sum(len(b[0]) for b in books.values())
     print(f"wrote aac_tables.h: sf book + 11 spectral books ({n} codes), "
-          f"{len(swb_long)}+{len(swb_short)} swb tables, all validated")
+          f"{len(swb_long)}+{len(swb_short)} swb tables, "
+          f"tns_max_bands, all validated")
 
 
 if __name__ == "__main__":
