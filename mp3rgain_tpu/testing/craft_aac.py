@@ -149,3 +149,110 @@ def craft_sce_frame(
 
 def craft_sce_stream(n_frames: int = 40, **kw) -> bytes:
     return craft_sce_frame(**kw) * n_frames
+
+
+def _put_sections(bw: BitWriter, cbs: list[int]) -> None:
+    """section_data for long windows from a per-band codebook list."""
+    i = 0
+    while i < len(cbs):
+        j = i
+        while j < len(cbs) and cbs[j] == cbs[i]:
+            j += 1
+        bw.put(cbs[i], 4)
+        rest = j - i
+        while rest >= 31:
+            bw.put(31, 5)
+            rest -= 31
+        bw.put(rest, 5)
+        i = j
+
+
+def craft_cpe_frame(
+    n_bands: int,
+    left_energy: dict[int, tuple[int, int, int, int]],
+    right_energy: dict[int, tuple[int, int, int, int]] | None = None,
+    is_bands: dict[int, tuple[int, int]] | None = None,
+    ms_used: set[int] = frozenset(),
+    global_gain: int = 100,
+) -> bytes:
+    """One ADTS frame: CPE, 44.1 kHz, ONLY_LONG, common window.
+
+    is_bands: {sfb: (codebook 14|15, is_position)} — right-channel bands
+    coded as intensity (IS_MINUS=14 negative, IS_PLUS=15 positive);
+    is_position values are sent DPCM through the scalefactor codebook.
+    ms_used: sfbs with the M/S bit set (ms_mask_present=1). On an
+    intensity band this inverts the intensity direction.
+    """
+    is_bands = is_bands or {}
+    right_energy = right_energy or {}
+    assert not (set(is_bands) & set(right_energy))
+    assert 1 <= n_bands <= 49
+
+    sf_codes, sf_lens = _array("kAacSfCode"), _array("kAacSfLen")
+    cb_right = [
+        is_bands[b][0] if b in is_bands else 1 for b in range(n_bands)
+    ]
+
+    bw = BitWriter()
+    bw.put(1, 3)  # id_syn_ele = CPE
+    bw.put(0, 4)  # element_instance_tag
+    bw.put(1, 1)  # common_window
+    # shared ics_info
+    bw.put(0, 1)  # ics_reserved
+    bw.put(0, 2)  # ONLY_LONG
+    bw.put(0, 1)  # sine shape
+    bw.put(n_bands, 6)
+    bw.put(0, 1)  # predictor_data_present
+    bw.put(1, 2)  # ms_mask_present = 1 (per-band bits)
+    for b in range(n_bands):
+        bw.put(1 if b in ms_used else 0, 1)
+
+    for ch, (energy, cbs) in enumerate(
+        [(left_energy, [1] * n_bands), (right_energy, cb_right)]
+    ):
+        bw.put(global_gain, 8)
+        _put_sections(bw, cbs)
+        # scale_factor_data: separate DPCM chains for sf (from
+        # global_gain) and intensity position (from 0).
+        is_prev = 0
+        for b in range(n_bands):
+            if cbs[b] in (14, 15):
+                delta = is_bands[b][1] - is_prev
+                is_prev = is_bands[b][1]
+                assert -60 <= delta <= 60
+                bw.put(sf_codes[delta + 60], sf_lens[delta + 60])
+            else:
+                bw.put(sf_codes[60], sf_lens[60])  # dscf = 0
+        bw.put(0, 1)  # pulse_data_present
+        bw.put(0, 1)  # tns_data_present
+        bw.put(0, 1)  # gain_control_data_present
+        for b in range(n_bands):
+            if cbs[b] in (14, 15):
+                continue  # intensity bands carry no spectral data
+            width = SWB_44_LONG[b + 1] - SWB_44_LONG[b]
+            quad = energy.get(b, (0, 0, 0, 0))
+            for _ in range(width // 4):
+                _put_cb1_quad(bw, quad)
+    bw.put(7, 3)  # END
+    payload = bw.bytes()
+
+    frame_len = len(payload) + 7
+    h = BitWriter()
+    h.put(0xFFF, 12)
+    h.put(0, 1)
+    h.put(0, 2)
+    h.put(1, 1)
+    h.put(1, 2)   # AAC-LC
+    h.put(4, 4)   # 44100
+    h.put(0, 1)
+    h.put(2, 3)   # channel_configuration: stereo
+    h.put(0, 2)
+    h.put(0, 2)
+    h.put(frame_len, 13)
+    h.put(0x7FF, 11)
+    h.put(0, 2)
+    return h.bytes() + payload
+
+
+def craft_cpe_stream(n_frames: int = 40, **kw) -> bytes:
+    return craft_cpe_frame(**kw) * n_frames

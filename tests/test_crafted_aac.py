@@ -92,6 +92,50 @@ def test_tns_matches_avcodec(name):
     assert np.abs(a - b).max() < 1e-6 + 1e-3 * rms
 
 
+_LEFT = {b: (1, -1, 0, 1) for b in range(0, 10)}
+
+CPE_CASES = {
+    "is-plus": dict(
+        n_bands=10, left_energy=_LEFT,
+        is_bands={6: (15, 0), 7: (15, 2), 8: (15, 4), 9: (15, -2)},
+    ),
+    "is-minus": dict(
+        n_bands=10, left_energy=_LEFT,
+        is_bands={6: (14, 1), 7: (14, 3), 8: (15, 5), 9: (14, 0)},
+    ),
+    "is-with-ms": dict(
+        n_bands=10, left_energy=_LEFT,
+        right_energy={b: (0, 1, -1, 0) for b in range(0, 4)},
+        is_bands={6: (15, 2), 7: (14, 2), 8: (15, -1), 9: (14, 4)},
+        ms_used={0, 1, 7, 8},
+    ),
+    "ms-only": dict(
+        n_bands=10, left_energy=_LEFT,
+        right_energy={b: (0, 1, -1, 0) for b in range(0, 10)},
+        ms_used=set(range(10)),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CPE_CASES))
+def test_cpe_stereo_matches_avcodec(name):
+    """AAC intensity stereo (IS_PLUS/IS_MINUS, negative positions, the
+    ms_used direction inversion) and per-band M/S vs libavcodec."""
+    data = craft_aac.craft_cpe_stream(40, global_gain=140, **CPE_CASES[name])
+    ref = np.asarray(avcodec.decode_adts(data)[0])
+    if ref.shape[0] != 2:
+        ref = ref.T
+    u = af.unpack_adts(data)
+    if "is" in name:
+        assert 4 & np.bitwise_or.reduce(u.info[:, 7]), "intensity never fired"
+    pcm = np.asarray(aac_synthesis.decode_unpacked(u)[0])
+    n = min(ref.shape[1], pcm.shape[1])
+    a, b = ref[:, 2048 : n - 2048], pcm[:, 2048 : n - 2048]
+    rms = np.sqrt((a**2).mean())
+    assert rms > 1e-5, "crafted stream decoded to silence"
+    assert np.abs(a - b).max() < 1e-6 + 1e-3 * rms
+
+
 def test_pulse_changes_output():
     plain = craft_aac.craft_sce_stream(8, band_quads=QUADS, global_gain=140)
     pulsed = craft_aac.craft_sce_stream(
