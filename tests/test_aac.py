@@ -139,3 +139,29 @@ def test_mp4_demux_sample_tables(tmp_path):
     assert u.n > 10
     assert u.sample_rate == 44100
     assert u.n_channels == 2
+
+
+def test_adts_transient_short_windows_match_oracle():
+    """Click train forces the encoder into EIGHT_SHORT windows with real
+    grouping (plus LONG_START/STOP transitions) — pins the grouped
+    short-window decode path against libavcodec."""
+    sr = 44100
+    t = np.arange(int(2.0 * sr)) / sr
+    click = np.zeros(len(t))
+    click[::4410] = 0.9
+    click += 0.05 * np.sin(2 * np.pi * 880 * t)
+    pcm = np.stack([click, click], axis=1)
+    adts = avcodec.encode_adts(pcm, sr, bitrate=192000)
+    u = af.unpack_adts(adts)
+    seqs = u.info[:, af.WINDOW_SEQ]
+    assert (seqs == 2).sum() >= 10, "encoder produced too few short frames"
+
+    mine = np.asarray(aac_synthesis.decode_unpacked(u)[0])
+    ref = avcodec.decode_adts(adts)[0].T
+    err = np.abs(mine - ref).max(axis=0).reshape(-1, 1024).max(axis=1)
+    flags = u.info[:, 7].reshape(-1, u.n_channels).max(axis=1)
+    pns_or_next = (flags & 2) > 0
+    pns_or_next[1:] |= pns_or_next[:-1].copy()
+    clean = ~pns_or_next
+    assert clean.sum() > 0
+    assert err[clean].max() < 1e-4, err[clean].max()
