@@ -208,6 +208,70 @@ def craft_mixed_block_stream(n_frames: int = 40, **kw) -> bytes:
     return craft_mixed_block_frame(**kw) * n_frames
 
 
+def craft_count1b_frame(
+    quads: list[tuple[int, int, int, int]],
+    global_gain: int = 190,
+) -> bytes:
+    """One MPEG1 44.1 kHz 128 kbps MONO long-block frame whose count1
+    region uses table B (count1table_select=1: fixed 4-bit codes, the
+    one's complement of the |v|w|x|y| bit pattern, one sign bit per
+    nonzero value).
+
+    big_values covers lines 0..7 with (1,1) pairs (table 1); `quads`
+    (values in -1..1) fill lines 8.. in the count1 region.
+    """
+    big_values = 4
+    header = bytes([0xFF, 0xFB, 0x90, 0xC0])  # mono
+
+    def write_main(bw: BitWriter) -> None:
+        _encode_table1_pairs(bw, set(range(0, 8, 2)), big_values * 2)
+        for q in quads:
+            assert all(-1 <= v <= 1 for v in q)
+            bits = 0
+            for v in q:
+                bits = (bits << 1) | (1 if v else 0)
+            bw.put((~bits) & 0xF, 4)
+            for v in q:
+                if v:
+                    bw.put(0 if v > 0 else 1, 1)
+
+    tmp = BitWriter()
+    write_main(tmp)
+    part23 = len(tmp)
+
+    side = BitWriter()
+    side.put(0, 9)
+    side.put(0, 5)   # private (mono)
+    side.put(0, 4)   # scfsi
+    for _gr in range(2):
+        side.put(part23, 12)
+        side.put(big_values, 9)
+        side.put(global_gain, 8)
+        side.put(0, 4)   # scalefac_compress
+        side.put(0, 1)   # window_switching
+        for _ in range(3):
+            side.put(1, 5)
+        side.put(0, 4)   # region0_count
+        side.put(7, 3)   # region1_count
+        side.put(0, 1)   # preflag
+        side.put(0, 1)   # scalefac_scale
+        side.put(1, 1)   # count1table_select = table B
+    side_bytes = side.bytes(pad_to=17)
+
+    main = BitWriter()
+    for _gr in range(2):
+        write_main(main)
+    main_bytes = main.bytes(pad_to=417 - 4 - 17)
+    return header + side_bytes + main_bytes
+
+
+def craft_count1b_stream(n_frames: int = 40, quads=None) -> bytes:
+    if quads is None:
+        quads = [(1, 0, 1, 0), (0, -1, 0, 1), (1, 1, 1, 1), (0, 0, 0, 0),
+                 (-1, -1, 0, 0), (0, 0, 1, -1)]
+    return craft_count1b_frame(quads) * n_frames
+
+
 def craft_lsf_intensity_frame(
     is_positions: list[int],
     ch0_bands: list[int],

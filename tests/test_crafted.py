@@ -96,6 +96,25 @@ def test_mixed_blocks(sbg):
     _compare(data, 1e-6)
 
 
+def test_count1_table_b():
+    """count1table_select=1 (fixed 4-bit complement codes) — lame emits
+    table A, so table B only gets coverage from crafted streams."""
+    data = craft.craft_count1b_stream(40)
+    _compare(data, 5e-6)
+    # The count1 quads must actually contribute energy (vs zero quads).
+    zero = craft.craft_count1b_stream(40, quads=[(0, 0, 0, 0)] * 6)
+    outs = []
+    for d in (data, zero):
+        with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+            f.write(d)
+            p = f.name
+        try:
+            outs.append(np.asarray(synthesis.decode_file(p)[0]))
+        finally:
+            os.unlink(p)
+    assert np.abs(outs[0] - outs[1]).max() > 1e-3
+
+
 def test_crafted_through_batch_runner():
     """The batch runner's device field derivation must handle intensity
     and mixed-block records identically to the single-track path."""
