@@ -208,6 +208,81 @@ def craft_mixed_block_stream(n_frames: int = 40, **kw) -> bytes:
     return craft_mixed_block_frame(**kw) * n_frames
 
 
+# MPEG1 slen pairs per scalefac_compress index.
+SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
+
+# scfsi band groups (sfb ranges) for MPEG1 long blocks.
+SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
+
+
+def craft_scalefactor_frame(
+    scf: list[int],
+    scalefac_compress: int = 13,
+    preflag: int = 0,
+    scalefac_scale: int = 0,
+    scfsi: int = 0,
+    global_gain: int = 200,
+) -> bytes:
+    """One MPEG1 44.1 kHz 128 kbps MONO long-block frame exercising the
+    scalefactor machinery: nonzero scalefactors, preflag, scalefac_scale,
+    and scfsi group reuse (granule 1 skips groups whose scfsi bit is set).
+
+    scf: 21 values; sfbs 0..10 use slen1 bits, 11..20 slen2.
+    """
+    assert len(scf) == 21
+    slen1, slen2 = SLEN[scalefac_compress]
+    for i, v in enumerate(scf):
+        assert 0 <= v < (1 << (slen1 if i < 11 else slen2)), (i, v)
+
+    header = bytes([0xFF, 0xFB, 0x90, 0xC0])  # mono
+    ones = _lines_for_bands([0, 2, 5, 8, 12, 15, 18, 20])
+    big_values = BAND_START_44[21] // 2  # lines 0..417
+
+    def write_main(bw: BitWriter, gr: int) -> None:
+        for gi, (lo, hi) in enumerate(SCFSI_GROUPS):
+            if gr == 1 and (scfsi >> (3 - gi)) & 1:
+                continue  # reused from granule 0
+            for b in range(lo, hi):
+                bw.put(scf[b], slen1 if b < 11 else slen2)
+        _encode_table1_pairs(bw, ones, big_values * 2)
+
+    part23 = []
+    for gr in range(2):
+        tmp = BitWriter()
+        write_main(tmp, gr)
+        part23.append(len(tmp))
+
+    side = BitWriter()
+    side.put(0, 9)
+    side.put(0, 5)   # private (mono)
+    side.put(scfsi, 4)
+    for gr in range(2):
+        side.put(part23[gr], 12)
+        side.put(big_values, 9)
+        side.put(global_gain, 8)
+        side.put(scalefac_compress, 4)
+        side.put(0, 1)   # window_switching
+        for _ in range(3):
+            side.put(1, 5)
+        side.put(0, 4)
+        side.put(7, 3)
+        side.put(preflag, 1)
+        side.put(scalefac_scale, 1)
+        side.put(0, 1)   # count1table_select
+    side_bytes = side.bytes(pad_to=17)
+
+    main = BitWriter()
+    for gr in range(2):
+        write_main(main, gr)
+    main_bytes = main.bytes(pad_to=417 - 4 - 17)
+    return header + side_bytes + main_bytes
+
+
+def craft_scalefactor_stream(n_frames: int = 40, **kw) -> bytes:
+    return craft_scalefactor_frame(**kw) * n_frames
+
+
 def craft_count1b_frame(
     quads: list[tuple[int, int, int, int]],
     global_gain: int = 190,

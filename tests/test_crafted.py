@@ -96,6 +96,42 @@ def test_mixed_blocks(sbg):
     _compare(data, 1e-6)
 
 
+_SCF = [3, 1, 0, 2, 4, 5, 7, 6, 2, 1, 3, 0, 1, 2, 3, 4, 5, 6, 7, 1, 2]
+
+SCF_CASES = {
+    "plain-scf": dict(scf=_SCF),
+    "preflag": dict(scf=_SCF, preflag=1),
+    "scalefac-scale": dict(scf=_SCF, scalefac_scale=1),
+    "scfsi-all": dict(scf=_SCF, scfsi=0b1111),
+    "scfsi-mixed+pre+scale": dict(
+        scf=_SCF, scfsi=0b1010, preflag=1, scalefac_scale=1
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCF_CASES))
+def test_scalefactor_machinery(name):
+    """Nonzero scalefactors with preflag, scalefac_scale and scfsi group
+    reuse vs libmpg123 (lame rarely co-emits these)."""
+    data = craft.craft_scalefactor_stream(40, **SCF_CASES[name])
+    _compare(data, 1e-5)
+
+
+def test_preflag_changes_output():
+    a = craft.craft_scalefactor_stream(8, scf=_SCF)
+    b = craft.craft_scalefactor_stream(8, scf=_SCF, preflag=1)
+    outs = []
+    for d in (a, b):
+        with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+            f.write(d)
+            p = f.name
+        try:
+            outs.append(np.asarray(synthesis.decode_file(p)[0]))
+        finally:
+            os.unlink(p)
+    assert np.abs(outs[0] - outs[1]).max() > 1e-3
+
+
 def test_count1_table_b():
     """count1table_select=1 (fixed 4-bit complement codes) — lame emits
     table A, so table B only gets coverage from crafted streams."""
