@@ -102,3 +102,45 @@ def test_fuzz_pure_garbage():
         native.ape_parse(blob)
         frontend.unpack_data(blob)
         aac_frontend.unpack_adts(blob)
+
+
+def test_fuzz_crafted_stream_paths():
+    """Mutations of hand-crafted streams reach parser states that
+    lame/ffmpeg seeds never enter (intensity scalefactors, mixed-block
+    side info, count1 table B, CPE intensity sections, pulse/TNS data)."""
+    from mp3rgain_tpu.testing import craft, craft_aac
+
+    rng = np.random.default_rng(11)
+    mp3_seeds = [
+        craft.craft_intensity_stream(4, mode_extension=3, ch1_bands=[0, 1]),
+        craft.craft_lsf_intensity_stream(8, intensity_scale=1),
+        craft.craft_mixed_block_stream(4, subblock_gain=(7, 3, 1)),
+        craft.craft_count1b_stream(4),
+        craft.craft_scalefactor_stream(
+            4, scf=[3] * 21, scfsi=0b1010, preflag=1, scalefac_scale=1
+        ),
+    ]
+    for seed in mp3_seeds:
+        for mutated in _mutations(seed, rng, 25):
+            try:
+                mg.analyze_data(mutated)
+            except mg.Mp3Error:
+                pass
+            native.frame_index(mutated)
+            u = frontend.unpack_data(mutated)
+            assert u.n >= 0
+
+    aac_seeds = [
+        craft_aac.craft_sce_stream(
+            4, n_bands=45, energy={40: (1, -1, 1, 0)}, pulses=[(0, 4)],
+            tns=dict(length=45, order=3, coefs=[5, 2, 7]),
+        ),
+        craft_aac.craft_cpe_stream(
+            4, n_bands=10, left_energy={b: (1, 0, -1, 0) for b in range(10)},
+            is_bands={7: (15, 2), 8: (14, -1), 9: (15, 4)}, ms_used={0, 7},
+        ),
+    ]
+    for seed in aac_seeds:
+        for mutated in _mutations(seed, rng, 25):
+            u = aac_frontend.unpack_adts(mutated)
+            assert u.n >= 0
