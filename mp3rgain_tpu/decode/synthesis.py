@@ -117,8 +117,12 @@ def _per_sample_const(masks, rows, dtype=None):
 
 
 # Exactness-critical matmuls (integer-valued one-hot selections) must not
-# be downcast by the TPU's default bf16 matmul precision.
-_EXACT = jax.lax.Precision.HIGHEST
+# be downcast by the TPU's default bf16 matmul precision. HIGH (bf16x3)
+# is sufficient: every operand is an integer below 2^16 (spectrum
+# magnitudes <= 8206, scalefactors, subblock gains) or a 0/1 selector,
+# and the hi+lo bf16 split represents 16-bit integers exactly, so each
+# product and the single-nonzero row sums are exact in float32.
+_EXACT = jax.lax.Precision.HIGH
 
 
 def _reorder(x, masks, rt, dtype):
