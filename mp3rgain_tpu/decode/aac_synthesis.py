@@ -115,7 +115,7 @@ def _decode_jit(spec, window_seq, window_shape, n_channels, dtype):
 
 def _decode_body(x, window_seq, window_shape, n_channels, dtype,
                  m_long, w_long, m_short):
-    with jax.default_matmul_precision("float32"):
+    with jax.default_matmul_precision("high"):
         return _decode_inner(x, window_seq, window_shape, n_channels, dtype,
                              m_long, w_long, m_short)
 

@@ -368,9 +368,12 @@ def _decode_jit(spectrum, scf, kind, sr_row_arr, global_gain, scalefac_scale,
     )
     rt = row_tables(sr_row)
     masks = _class_masks(b.kind)
-    # f32 matmul compute throughout: bf16 default precision costs real
-    # loudness accuracy through IMDCT/synthesis.
-    with jax.default_matmul_precision("float32"):
+    # Near-f32 matmul compute throughout: bf16 default precision costs
+    # real loudness accuracy (~0.07 dB) through IMDCT/synthesis. HIGH
+    # (bf16x3) keeps loudness bins bit-equal to CPU on all test content
+    # (peaks within ~1e-5 relative) at ~7% less pipeline time than
+    # HIGHEST.
+    with jax.default_matmul_precision("high"):
         xr = _requantize(b, rt, masks, dtype)
         xr = _stereo(b, xr, rt, masks, dtype)
         xr = _alias(b, xr, masks, dtype)

@@ -219,8 +219,11 @@ def _equal_loudness_jit(x, sample_rate: int, block: int):
     dtype = x.dtype
     y = x
     # The blocked recurrences cancel heavily; TPU's default bf16 matmul
-    # precision costs ~0.05 dB of loudness accuracy. Force f32 compute.
-    with jax.default_matmul_precision("float32"):
+    # precision costs ~0.05 dB of loudness accuracy. HIGH (bf16x3,
+    # ~f32-quality) keeps loudness bins bit-equal to the CPU path on all
+    # test content; worst-case drift is one 0.01 dB histogram bin, 5x
+    # inside the +-0.05 dB budget, and is ~25% faster than HIGHEST.
+    with jax.default_matmul_precision("high"):
         y = _equal_loudness_body(y, plan, dtype, block)
     return y
 
