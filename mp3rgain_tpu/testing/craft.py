@@ -208,6 +208,29 @@ def craft_mixed_block_stream(n_frames: int = 40, **kw) -> bytes:
     return craft_mixed_block_frame(**kw) * n_frames
 
 
+def _crc16_mpeg(data: bytes) -> int:
+    """MPEG audio CRC-16 (poly 0x8005, init 0xFFFF, MSB-first)."""
+    crc = 0xFFFF
+    for byte in data:
+        for bit in range(7, -1, -1):
+            fb = ((crc >> 15) ^ (byte >> bit)) & 1
+            crc = ((crc << 1) & 0xFFFF) ^ (0x8005 if fb else 0)
+    return crc
+
+
+def add_crc_protection(frame: bytes, side_info_len: int) -> bytes:
+    """Convert an unprotected frame to a CRC-protected one (protection
+    bit 0, 16-bit CRC over header bytes 2..3 + side info inserted after
+    the header). Two trailing pad bytes are dropped to keep the frame
+    size field consistent."""
+    assert frame[1] & 1, "frame already protected"
+    header = bytes([frame[0], frame[1] & 0xFE, frame[2], frame[3]])
+    side = frame[4 : 4 + side_info_len]
+    crc = _crc16_mpeg(header[2:4] + side)
+    body = frame[4:-2]
+    return header + bytes([crc >> 8, crc & 0xFF]) + body
+
+
 # MPEG1 slen pairs per scalefac_compress index.
 SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
         (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]

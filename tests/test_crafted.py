@@ -181,3 +181,44 @@ def test_crafted_through_batch_runner():
             single.result.loudness_db, abs=1e-6
         ), p
         assert outcome.result.peak == pytest.approx(single.result.peak, rel=1e-6), p
+
+
+def test_crc_protected_frames_decode():
+    """CRC-protected frames (protection bit 0, side info at offset 6) —
+    lame never emits them."""
+    scf = [3, 1, 0, 2, 4, 5, 7, 6, 2, 1, 3, 0, 1, 2, 3, 4, 5, 6, 7, 1, 2]
+    plain = craft.craft_scalefactor_frame(scf=scf)
+    prot = craft.add_crc_protection(plain, side_info_len=17)
+    _compare(prot * 40, 1e-5)
+    # decode must be identical to the unprotected variant
+    outs = []
+    for frame in (plain, prot):
+        with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+            f.write(frame * 20)
+            p = f.name
+        try:
+            outs.append(np.asarray(synthesis.decode_file(p)[0]))
+        finally:
+            os.unlink(p)
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_crc_protected_gain_surgery():
+    """Gain surgery on CRC frames uses side-info offset 6 and round-trips
+    byte-exactly. Like the reference (lib.rs:144-149 — CRC only shifts
+    the offsets), the stale CRC is left untouched."""
+    import mp3rgain_tpu as mg
+    from mp3rgain_tpu import native
+
+    scf = [0] * 21
+    data = craft.add_crc_protection(
+        craft.craft_scalefactor_frame(scf=scf), side_info_len=17
+    ) * 10
+    a0 = mg.analyze_data(data)
+    buf = bytearray(data)
+    native.apply_gain(buf, 3)
+    a1 = mg.analyze_data(bytes(buf))
+    assert a1.min_gain == a0.min_gain + 3
+    assert a1.frame_count == a0.frame_count == 10
+    native.apply_gain(buf, -3)
+    assert bytes(buf) == data
