@@ -31,6 +31,8 @@ def album_dir(tmp_path_factory):
 
 
 def test_mesh_has_8_devices():
+    if jax.default_backend() != "cpu":
+        pytest.skip("virtual 8-device mesh only exists on the CPU backend")
     assert len(jax.devices()) == 8
 
 
