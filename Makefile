@@ -1,4 +1,4 @@
-.PHONY: all native test test-fast bench compat tables clean
+.PHONY: all native test test-tpu test-fast bench compat tables clean
 
 all: native
 
@@ -7,6 +7,10 @@ native:
 
 test: native
 	python -m pytest tests/ -q
+
+# Same suite against the real TPU chip (bounds auto-scale for bf16x3).
+test-tpu: native
+	MP3RGAIN_TPU_TESTS=1 python -m pytest tests/ -q
 
 test-fast: native
 	python -m pytest tests/ -q -x -k "not stress and not fuzz"
