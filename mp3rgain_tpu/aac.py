@@ -49,8 +49,8 @@ def _analysis_fn(n_channels: int, sample_rate: int, dtype):
     return run
 
 
-def _analyze_on_device(path, dtype):
-    u = af.unpack_file(path)
+def _analyze_on_device(path, dtype, track_index=None):
+    u = af.unpack_file(path, track_index=track_index)
     if u.n == 0:
         raise AacError("No decodable AAC frames found")
     nch = u.n_channels or 1
@@ -67,13 +67,16 @@ def _analyze_on_device(path, dtype):
     stats = np.asarray(
         jnp.stack([loud_idx.astype(jnp.float32), peak.astype(jnp.float32)])
     )
-    return hist, hi.index_to_loudness(stats[0]), float(stats[1]), sr
+    audio_seconds = float(valid) / sr if sr else 0.0
+    return hist, hi.index_to_loudness(stats[0]), float(stats[1]), sr, audio_seconds
 
 
-def analyze_track_internal(path, dtype=jnp.float32):
+def analyze_track_internal(path, dtype=jnp.float32, track_index=None):
     from .analysis import TrackAnalysisInternal
 
-    hist, loudness_db, peak, sr = _analyze_on_device(path, dtype)
+    hist, loudness_db, peak, sr, audio_seconds = _analyze_on_device(
+        path, dtype, track_index
+    )
     result = ReplayGainResult(
         loudness_db=loudness_db,
         gain_db=PINK_REF - loudness_db,
@@ -81,11 +84,11 @@ def analyze_track_internal(path, dtype=jnp.float32):
         sample_rate=sr,
         file_type="aac",
     )
-    return TrackAnalysisInternal(result, hist)
+    return TrackAnalysisInternal(result, hist, audio_seconds=audio_seconds)
 
 
 def find_peak_amplitude(path, dtype=jnp.float32) -> PeakAmplitudeResult:
-    _, _, peak, sr = _analyze_on_device(path, dtype)
+    _, _, peak, sr, _ = _analyze_on_device(path, dtype)
     return PeakAmplitudeResult(
         peak=peak, peak_pcm=peak * SAMPLE_SCALE_16BIT, sample_rate=sr
     )

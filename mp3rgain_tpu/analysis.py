@@ -40,13 +40,50 @@ class AnalysisError(RuntimeError):
 
 
 class TrackAnalysisInternal:
-    def __init__(self, result: ReplayGainResult, hist):
+    def __init__(self, result: ReplayGainResult, hist, audio_seconds: float = 0.0):
         self.result = result
         self.histogram = hist  # (12000,) int32, device array
+        self.audio_seconds = audio_seconds
+
+
+def _sniff_adts(head: bytes) -> bool:
+    """True if `head` starts (after any ID3v2 tag) with a plausible ADTS
+    AAC frame. ADTS sync is 12 bits of 1s with layer '00'
+    (b1 & 0xF6 == 0xF0); MP3 Layer III has nonzero layer bits there, so
+    the two never collide. Confirmed by checking the next frame header at
+    aac_frame_length, mirroring the MP3 iterator's two-frame validation."""
+    pos = 0
+    if head[:3] == b"ID3" and len(head) >= 10:
+        size = (
+            (head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14
+            | (head[8] & 0x7F) << 7 | (head[9] & 0x7F)
+        )
+        pos = 10 + size
+    if pos + 7 > len(head):
+        return False
+    b = head[pos:]
+    if b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:
+        return False
+    frame_len = ((b[3] & 0x03) << 11) | (b[4] << 3) | (b[5] >> 5)
+    if frame_len < 7:
+        return False
+    nxt = pos + frame_len
+    if nxt + 2 <= len(head):
+        return head[nxt] == 0xFF and (head[nxt + 1] & 0xF6) == 0xF0
+    return nxt >= len(head)  # single trailing frame
 
 
 def _detect_file_type(path) -> str:
-    return "aac" if mp4meta.is_mp4_file(path) else "mp3"
+    """File-type routing (reference src/replaygain.rs:779-785 plus the
+    symphonia probe's extension hint, src/replaygain.rs:811-822): MP4
+    containers and raw ADTS AAC streams both take the AAC path."""
+    if mp4meta.is_mp4_file(path):
+        return "aac"
+    with open(path, "rb") as f:
+        head = f.read(64 * 1024)
+    if _sniff_adts(head):
+        return "aac"
+    return "mp3"
 
 
 @lru_cache(maxsize=None)
@@ -85,16 +122,20 @@ def analyze_track_internal(
     track_index: int | None = None,
     dtype=jnp.float32,
 ) -> TrackAnalysisInternal:
-    if track_index not in (None, 0):
-        raise AnalysisError(
-            f"Track index {track_index} out of range (file has 1 audio track(s))"
-        )
     file_type = _detect_file_type(path)
     if file_type == "aac":
         from . import aac
 
-        return aac.analyze_track_internal(path, dtype=dtype)
+        return aac.analyze_track_internal(
+            path, dtype=dtype, track_index=track_index
+        )
 
+    # MP3 streams have exactly one audio track (reference message:
+    # src/replaygain.rs:838-851).
+    if track_index not in (None, 0):
+        raise AnalysisError(
+            f"Track index {track_index} out of range (file has 1 audio track(s))"
+        )
     hist, loudness_db, peak, sr = _analyze_mp3_on_device(path, dtype)
     result = ReplayGainResult(
         loudness_db=loudness_db,

@@ -614,6 +614,35 @@ def cmd_check_tags(files: list[Path], opts: Options) -> int:
         filename = get_filename(f)
         _pb_msg(pb, filename)
         try:
+            # M4A ReplayGain lives in iTunes freeform tags, not APEv2.
+            # (The reference reads only APE tags here — a known blind
+            # spot; see docs/compatibility-report.md. MP3 output below is
+            # unchanged.)
+            if mp4meta.is_mp4_file(f):
+                mtags = mp4meta.read_replaygain_tags(f)
+                pairs = [
+                    ("REPLAYGAIN_TRACK_GAIN", mtags.track_gain),
+                    ("REPLAYGAIN_TRACK_PEAK", mtags.track_peak),
+                    ("REPLAYGAIN_ALBUM_GAIN", mtags.album_gain),
+                    ("REPLAYGAIN_ALBUM_PEAK", mtags.album_peak),
+                ]
+                if opts.output_format == OutputFormat.TEXT:
+                    print(colorize(filename, Color.CYAN, bold=True))
+                    if mtags.is_empty():
+                        print("  (no ReplayGain tags found)")
+                    else:
+                        for key, val in pairs:
+                            if val is not None:
+                                print(f"  {key}: {val}")
+                    print()
+                elif opts.output_format == OutputFormat.TSV:
+                    vals = [v if v is not None else "-" for _, v in pairs]
+                    print("\t".join([filename, "-", "-"] + vals))
+                else:
+                    status = "no_tag" if mtags.is_empty() else "success"
+                    json_results.append(file_result(file=str(f), status=status))
+                _pb_inc(pb)
+                continue
             tag = read_ape_tag_from_file(f)
             if tag is not None:
                 undo = tag.get(TAG_MP3GAIN_UNDO)

@@ -106,13 +106,19 @@ class Mp4DemuxError(RuntimeError):
     pass
 
 
-def mp4_to_adts(data: bytes) -> bytes:
-    """Extract the AAC track from an M4A/MP4 file as an ADTS stream."""
+def mp4_to_adts(data: bytes, track_index: int | None = None) -> bytes:
+    """Extract an AAC track from an M4A/MP4 file as an ADTS stream.
+
+    track_index selects among the file's audio (mp4a) tracks in trak
+    order; None means the first. Out-of-range indices raise with the
+    reference's message (src/replaygain.rs:838-851).
+    """
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise Mp4DemuxError("No moov box")
 
-    # Find the audio trak (hdlr == soun) with an mp4a sample entry.
+    # Enumerate audio traks (mp4a sample entries) in file order.
+    audio_tracks = []  # (entry_pos, entry_size, stbl)
     for btype, cs, ce in _walk_boxes(data, *moov):
         if btype != b"trak":
             continue
@@ -127,15 +133,25 @@ def mp4_to_adts(data: bytes) -> bytes:
         size, fmt = struct.unpack_from(">I4s", data, entry_pos)
         if fmt != b"mp4a":
             continue
-        # mp4a box: 8 hdr + 6 reserved + 2 data_ref + 8 reserved +
-        # 2 ch + 2 bits + 4 reserved + 4 rate, then child boxes (esds).
-        esds = _find(data, entry_pos + 8 + 28, entry_pos + size, b"esds")
-        if esds is None:
-            raise Mp4DemuxError("mp4a without esds")
-        asc = _parse_esds(data[esds[0] : esds[1]])
-        sizes, offsets = _sample_tables(data, stbl)
-        return _build_adts(data, sizes, offsets, asc)
-    raise Mp4DemuxError("No AAC audio track found")
+        audio_tracks.append((entry_pos, size, stbl))
+
+    if not audio_tracks:
+        raise Mp4DemuxError("No AAC audio track found")
+    idx = 0 if track_index is None else int(track_index)
+    if idx < 0 or idx >= len(audio_tracks):
+        raise Mp4DemuxError(
+            f"Track index {idx} out of range "
+            f"(file has {len(audio_tracks)} audio track(s))"
+        )
+    entry_pos, size, stbl = audio_tracks[idx]
+    # mp4a box: 8 hdr + 6 reserved + 2 data_ref + 8 reserved +
+    # 2 ch + 2 bits + 4 reserved + 4 rate, then child boxes (esds).
+    esds = _find(data, entry_pos + 8 + 28, entry_pos + size, b"esds")
+    if esds is None:
+        raise Mp4DemuxError("mp4a without esds")
+    asc = _parse_esds(data[esds[0] : esds[1]])
+    sizes, offsets = _sample_tables(data, stbl)
+    return _build_adts(data, sizes, offsets, asc)
 
 
 def _parse_esds(esds: bytes) -> tuple[int, int, int]:
@@ -243,9 +259,14 @@ def _build_adts(data: bytes, sizes, offsets, asc) -> bytes:
     return bytes(out)
 
 
-def unpack_file(path) -> UnpackedAac:
+def unpack_file(path, track_index: int | None = None) -> UnpackedAac:
     with open(path, "rb") as f:
         data = f.read()
     if data[4:8] == b"ftyp":
-        data = mp4_to_adts(data)
+        data = mp4_to_adts(data, track_index=track_index)
+    elif track_index not in (None, 0):
+        # Raw ADTS streams carry exactly one audio track.
+        raise Mp4DemuxError(
+            f"Track index {track_index} out of range (file has 1 audio track(s))"
+        )
     return unpack_adts(data)

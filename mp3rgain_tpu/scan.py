@@ -101,6 +101,7 @@ class Manifest:
 
 def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
     """Analyze many files with batching, fault isolation, and resume."""
+    from .analysis import _detect_file_type
     from .parallel import runner as parallel_runner
 
     t0 = time.monotonic()
@@ -122,7 +123,7 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
             out.histograms[str(p)] = hist
             out.resumed += 1
             continue
-        (todo_aac if mp4meta.is_mp4_file(p) else todo_mp3).append(p)
+        (todo_aac if _detect_file_type(p) == "aac" else todo_mp3).append(p)
 
     if todo_mp3:
         runner = parallel_runner.MeshRunner()
@@ -148,10 +149,9 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
             hist = np.asarray(internal.histogram)
             out.histograms[str(p)] = hist
             manifest.store(str(p), internal.result, hist)
-            dur = 0.0
-            if internal.result.sample_rate:
-                dur = hist.sum() * 0.05  # ~windows × 50 ms
-            out.audio_seconds += dur
+            # Duration from decoded sample counts (histograms drop silence
+            # windows, so hist.sum()*0.05 undercounts quiet tracks).
+            out.audio_seconds += internal.audio_seconds
         except Exception as e:
             out.results[str(p)] = e
         if progress_cb:
