@@ -748,3 +748,229 @@ int64_t mg_mp3_unpack(const uint8_t* data, size_t len, int32_t* info,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Light unpack: byte walk + side info + scalefactors + reservoir windows,
+// leaving the Huffman spectral decode to the device entropy kernel
+// (mp3rgain_tpu/decode/entropy_kernel.py). Meta layout must match
+// entropy_kernel.LIGHT_* constants.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// table id -> entropy_tables group id (kHuffTableIds order, 0 = table 0).
+int table_group(int tid) {
+  for (int i = 0; i < 15; ++i) {
+    if (kHuffTableIds[i] == tid) return i + 1;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+enum {
+  LM_P0 = 0,
+  LM_P23,
+  LM_BVP,
+  LM_R0P,
+  LM_R1P,
+  LM_G0,
+  LM_G1,
+  LM_G2,
+  LM_L0,
+  LM_L1,
+  LM_L2,
+  LM_GCNT,
+  LIGHT_META_N = 12,
+};
+
+// Like mg_mp3_unpack but emits per-gch raw Huffman bit windows + decode
+// metadata instead of decoded spectra. md rows are md_stride bytes; a row
+// holds the reservoir bytes covering [part3_start, part3_end] plus up to
+// 8 bytes of real following reservoir data (the kernel may legally read
+// past part2_3_length mid-symbol, as the host BitReader does).
+int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
+                            int32_t* scf, uint8_t* md, int64_t md_stride,
+                            int32_t* meta, int64_t cap_gch) {
+  const size_t audio_end = find_audio_end(data, len);
+  size_t pos = skip_id3v2(data, len);
+
+  std::vector<uint8_t> reservoir;
+  reservoir.reserve(1 << 16);
+
+  int64_t n_gch = 0;
+  int64_t frame_idx = 0;
+  int32_t prev_scf[2][kScfSlots] = {};
+
+  while (pos + 4 <= audio_end) {
+    FrameHeader h;
+    if (!parse_header(data + pos, len - pos, &h)) {
+      ++pos;
+      continue;
+    }
+    const size_t next_pos = pos + h.frame_size;
+    bool valid_frame;
+    if (next_pos + 2 <= audio_end) {
+      valid_frame = data[next_pos] == 0xFF && (data[next_pos + 1] & 0xE0) == 0xE0;
+    } else {
+      valid_frame = next_pos <= audio_end;
+    }
+    if (!valid_frame) {
+      ++pos;
+      continue;
+    }
+    if (is_xing_frame(data, len, pos, h)) {
+      pos = next_pos;
+      continue;
+    }
+
+    SideInfo si;
+    parse_side_info(data + pos + h.side_info_offset(), h, &si);
+
+    const size_t md_start = pos + h.side_info_offset() + h.side_info_len();
+    const size_t md_end = next_pos < audio_end ? next_pos : audio_end;
+    const size_t prev_size = reservoir.size();
+    if (md_end > md_start) {
+      reservoir.insert(reservoir.end(), data + md_start, data + md_end);
+    }
+
+    const bool reservoir_ok =
+        static_cast<size_t>(si.main_data_begin) <= prev_size;
+    size_t gr_bit =
+        reservoir_ok ? (prev_size - si.main_data_begin) * 8 : 0;
+
+    const int nch = h.channel_count();
+    for (int g = 0; g < h.granule_count(); ++g) {
+      for (int ch = 0; ch < nch; ++ch) {
+        GranuleInfo gi = si.gr[g][ch];
+        const int64_t rec = n_gch++;
+        if (rec >= cap_gch) continue;
+
+        int32_t* rinfo = info + rec * GCH_INFO_N;
+        int32_t* rscf = scf + rec * kScfSlots;
+        int32_t* rmeta = meta + rec * LIGHT_META_N;
+        uint8_t* rmd = md + rec * md_stride;
+        memset(rinfo, 0, GCH_INFO_N * sizeof(int32_t));
+        memset(rscf, 0, kScfSlots * sizeof(int32_t));
+        memset(rmeta, 0, LIGHT_META_N * sizeof(int32_t));
+
+        int intensity_scale = 0;
+        bool ok = reservoir_ok;
+        if (ok) {
+          BitReader br{reservoir.data(), reservoir.size(), gr_bit};
+          const size_t end_bit = gr_bit + gi.part2_3_length;
+          if (!h.lsf()) {
+            read_scalefactors_mpeg1(&br, gi, si.scfsi[ch], g == 1,
+                                    prev_scf[ch], rscf);
+          } else {
+            const bool intensity_ch =
+                ch == 1 && h.channel_mode == 1 && (h.mode_extension & 1);
+            read_scalefactors_lsf(&br, &gi, intensity_ch, &intensity_scale,
+                                  rscf);
+          }
+          ok = !br.overrun && br.bit <= end_bit;
+          if (ok && gi.part2_3_length > 0) {
+            // Copy the part3 window (byte-aligned) + 8 real pad bytes.
+            const size_t start_byte = br.bit >> 3;
+            const size_t p0 = br.bit & 7;
+            const size_t p23 = end_bit - br.bit;
+            size_t nbytes = (p0 + p23 + 7) / 8 + 8;
+            if (static_cast<int64_t>(nbytes) > md_stride) {
+              nbytes = static_cast<size_t>(md_stride);
+            }
+            size_t avail = reservoir.size() > start_byte
+                               ? reservoir.size() - start_byte
+                               : 0;
+            const size_t ncopy = avail < nbytes ? avail : nbytes;
+            memcpy(rmd, reservoir.data() + start_byte, ncopy);
+            if (ncopy < static_cast<size_t>(md_stride)) {
+              memset(rmd + ncopy, 0, md_stride - ncopy);
+            }
+            rmeta[LM_P0] = static_cast<int32_t>(p0);
+            rmeta[LM_P23] = static_cast<int32_t>(p23);
+
+            // Region pair bounds + table groups (decode_spectrum logic).
+            const uint8_t* bl = kBandSizeLong[h.sr_row()];
+            int long_index[23];
+            long_index[0] = 0;
+            for (int i = 0; i < 22; ++i) {
+              long_index[i + 1] = long_index[i] + bl[i];
+            }
+            int region1_start, region2_start;
+            if (gi.window_switching && gi.block_type == 2) {
+              const uint8_t* bs = kBandSizeShort[h.sr_row()];
+              region1_start = 3 * (bs[0] + bs[1] + bs[2]);
+              region2_start = 576;
+            } else if (gi.window_switching) {
+              region1_start = long_index[8];
+              region2_start = 576;
+            } else {
+              const int r0 =
+                  gi.region0_count + 1 < 23 ? gi.region0_count + 1 : 22;
+              int r1 = gi.region0_count + gi.region1_count + 2;
+              if (r1 > 22) r1 = 22;
+              region1_start = long_index[r0];
+              region2_start = long_index[r1];
+            }
+            int big_pairs = gi.big_values;
+            if (big_pairs > 288) big_pairs = 288;
+            rmeta[LM_BVP] = big_pairs;
+            rmeta[LM_R0P] = (region1_start + 1) / 2;
+            rmeta[LM_R1P] = (region2_start + 1) / 2;
+            for (int r = 0; r < 3; ++r) {
+              const int tsel = gi.table_select[r];
+              rmeta[LM_G0 + r] = table_group(kHuffSelect[tsel].table_id);
+              rmeta[LM_L0 + r] = kHuffSelect[tsel].linbits;
+            }
+            rmeta[LM_GCNT] = gi.count1table_select ? 17 : 16;
+          } else if (ok) {
+            memset(rmd, 0, md_stride);
+          }
+          gr_bit += gi.part2_3_length;
+          if (!h.lsf()) {
+            memcpy(prev_scf[ch], rscf, kScfSlots * sizeof(int32_t));
+          }
+        }
+        if (!ok) {
+          memset(rscf, 0, kScfSlots * sizeof(int32_t));
+          memset(rmd, 0, md_stride);
+        }
+
+        rinfo[GCH_FRAME] = static_cast<int32_t>(frame_idx);
+        rinfo[GCH_GRANULE] = g;
+        rinfo[GCH_CHANNEL] = ch;
+        rinfo[GCH_GLOBAL_GAIN] = gi.global_gain;
+        rinfo[GCH_SCALEFAC_SCALE] = gi.scalefac_scale;
+        rinfo[GCH_PREFLAG] = gi.preflag;
+        rinfo[GCH_BLOCK_TYPE] = gi.window_switching ? gi.block_type : 0;
+        rinfo[GCH_MIXED] = gi.mixed_block_flag;
+        rinfo[GCH_SBG0] = gi.subblock_gain[0];
+        rinfo[GCH_SBG1] = gi.subblock_gain[1];
+        rinfo[GCH_SBG2] = gi.subblock_gain[2];
+        rinfo[GCH_VERSION] = h.version;
+        rinfo[GCH_SR_ROW] = h.sr_row();
+        rinfo[GCH_CHANNEL_MODE] = h.channel_mode;
+        rinfo[GCH_MODE_EXT] = h.mode_extension;
+        rinfo[GCH_SAMPLE_RATE] = static_cast<int32_t>(h.sample_rate);
+        // BIG_END / COUNT1_END are filled in by the device entropy kernel.
+        rinfo[GCH_VALID] = ok ? 1 : 0;
+        rinfo[GCH_INTENSITY_SCALE] = intensity_scale;
+        rinfo[GCH_NCHANNELS] = nch;
+      }
+    }
+
+    if (reservoir.size() > (1u << 16)) {
+      const size_t drop = reservoir.size() - (1u << 15);
+      reservoir.erase(reservoir.begin(), reservoir.begin() + drop);
+      gr_bit = gr_bit > drop * 8 ? gr_bit - drop * 8 : 0;
+    }
+
+    ++frame_idx;
+    pos = next_pos;
+  }
+  return n_gch;
+}
+
+}  // extern "C"

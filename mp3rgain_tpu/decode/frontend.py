@@ -99,3 +99,88 @@ def unpack_data(data: bytes) -> UnpackedMp3:
 def unpack_file(path) -> UnpackedMp3:
     with open(path, "rb") as f:
         return unpack_data(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Light unpack: host does byte walk + side info + scalefactors only; the
+# Huffman spectral decode runs on device (decode/entropy_kernel.py).
+# ---------------------------------------------------------------------------
+
+# Meta field indices (keep in sync with _native/mp3dec.cpp LM_*).
+LM_P0 = 0
+LM_P23 = 1
+LM_BVP = 2
+LM_R0P = 3
+LM_R1P = 4
+LM_G0 = 5
+LM_G1 = 6
+LM_G2 = 7
+LM_L0 = 8
+LM_L1 = 9
+LM_L2 = 10
+LM_GCNT = 11
+LIGHT_META_N = 12
+
+# Max bytes per gch window: 4095 part3 bits + 7 lead bits + 8 pad bytes.
+MD_STRIDE = 528
+
+_lib.mg_mp3_unpack_light.restype = ctypes.c_int64
+_lib.mg_mp3_unpack_light.argtypes = [
+    _u8p,
+    ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32),
+    _u8p,
+    ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int32),
+    ctypes.c_int64,
+]
+
+
+@dataclass
+class UnpackedMp3Light:
+    """Raw-bits manifest: per-gch Huffman windows + decode metadata.
+
+    The spectral decode happens on device, so the host→device payload is
+    the raw main-data bytes (~4x smaller than decoded int16 spectra).
+    """
+
+    info: np.ndarray  # (n, INFO_N) int32 (BIG_END/COUNT1_END zero)
+    scf: np.ndarray  # (n, 64) int32
+    md: np.ndarray  # (n, MD_STRIDE) uint8 Huffman windows
+    meta: np.ndarray  # (n, LIGHT_META_N) int32
+
+    @property
+    def n(self) -> int:
+        return self.info.shape[0]
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.info[0, SAMPLE_RATE]) if self.n else 0
+
+    @property
+    def n_channels(self) -> int:
+        return int(self.info[0, NCHANNELS]) if self.n else 0
+
+
+def unpack_data_light(data: bytes) -> UnpackedMp3Light:
+    cap = max(64, len(data) // 40)
+    while True:
+        info = np.empty((cap, INFO_N), dtype=np.int32)
+        scf = np.empty((cap, SCF_SLOTS), dtype=np.int32)
+        md = np.empty((cap, MD_STRIDE), dtype=np.uint8)
+        meta = np.empty((cap, LIGHT_META_N), dtype=np.int32)
+        n = _lib.mg_mp3_unpack_light(
+            _inbuf(data), len(data), _i32p(info), _i32p(scf),
+            md.ctypes.data_as(_u8p), MD_STRIDE, _i32p(meta), cap,
+        )
+        if n <= cap:
+            return UnpackedMp3Light(
+                info=info[:n], scf=scf[:n], md=md[:n], meta=meta[:n]
+            )
+        cap = int(n)
+
+
+def unpack_file_light(path) -> UnpackedMp3Light:
+    with open(path, "rb") as f:
+        return unpack_data_light(f.read())

@@ -1,0 +1,98 @@
+"""Reliable on-device benchmark of the entropy kernel.
+
+Wraps K chained kernel invocations in ONE jitted dispatch (the tunneled
+runtime adds 10-100 ms of per-dispatch noise), with the next invocation's
+meta perturbed by the previous output so nothing can be elided/memoized.
+
+Usage: python tools/devbench_entropy.py [--nb 8] [--steps 280] [--w8 9] [--k 8]
+"""
+
+import argparse
+import sys
+import time
+
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mp3rgain_tpu.decode import entropy_kernel as ek
+
+
+def bench(nb, steps, w8, k, iters=4, quiet=False):
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 2**31, (nb, w8, 8, ek.LANES), dtype=np.int64).astype(
+        np.int32
+    )
+    meta = np.zeros((nb, ek.META_ROWS, ek.LANES), np.int32)
+    meta[:, 1] = 1700
+    meta[:, 2] = 100
+    meta[:, 11] = 16
+    scal = np.stack([np.full(nb, steps, np.int32), np.full(nb, w8, np.int32)], 1)
+    run0 = ek._decode_call(steps, w8, nb, False)
+    scald = jax.device_put(jnp.asarray(scal))
+    run = lambda b, m: run0(scald, b, m)
+
+    @jax.jit
+    def multi(buf, meta, salt):
+        def body(i, carry):
+            meta_c, acc = carry
+            meta_c = meta_c.at[0, 15, 0].set(salt + i + acc)
+            vals, mout = run(buf, meta_c)
+            # Real data dependency: the p-row actually varies with input.
+            return (meta_c, acc + (mout[0, 3, 0] & 7) + 1)
+
+        _, acc = lax.fori_loop(0, k, body, (meta, jnp.int32(0)))
+        return acc
+
+    bufd = jax.device_put(jnp.asarray(buf))
+    metad = jax.device_put(jnp.asarray(meta))
+    import random as pyrandom
+
+    salt0 = pyrandom.randrange(1 << 20)
+    acc = multi(bufd, metad, jnp.int32(salt0))
+    float(acc)
+
+    walls = []
+    for it in range(iters):
+        t0 = time.monotonic()
+        acc = multi(bufd, metad, jnp.int32(salt0 + 1 + it) + acc * 0)
+        float(acc)
+        walls.append((time.monotonic() - t0) / k)
+    wall = min(walls)
+    gch = nb * ek.LANES
+    audio = gch / 153.0
+    if not quiet:
+        print(
+            f"nb={nb} steps={steps} w8={w8} k={k}: {wall*1e3:8.2f} ms/run "
+            f"{wall/(nb*steps)*1e6:7.2f} us/block-step  eq {audio/wall:7.0f}x"
+        )
+    return wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=280)
+    ap.add_argument("--w8", type=int, default=9)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--sweep", action="store_true")
+    args = ap.parse_args()
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+    bench(2, 64, 2, 2, iters=1, quiet=True)  # warmup: eat session setup
+    if args.sweep:
+        for nb, steps, w8 in ((4, 280, 9), (8, 280, 9), (16, 280, 9),
+                              (8, 280, 5), (8, 140, 9)):
+            bench(nb, steps, w8, args.k)
+    else:
+        bench(args.nb, args.steps, args.w8, args.k)
+
+
+if __name__ == "__main__":
+    main()
