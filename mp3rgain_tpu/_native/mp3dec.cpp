@@ -973,4 +973,49 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
   return n_gch;
 }
 
+// Pack light-unpacked granule-channels into the entropy kernel's device
+// layout in one pass (the numpy gather + big-endian word pack + lane
+// transpose took ~20 s per 64x60s batch on a 1-core host; this runs it
+// at memcpy speed). Layouts match decode/entropy_kernel.py:
+//   buf:   (nb, w8, 8, lanes) int32 big-endian words of the Huffman
+//          window, rows ordered by `order` (sorted by estimated steps);
+//   metab: (nb, meta_rows_out, lanes) int32, LIGHT_META_N live rows.
+// md_rows / meta_rows are per-ROW base pointers (uint64), so callers
+// never concatenate per-track arrays. order[r] >= n marks padding.
+void mg_entropy_pack(const uint64_t* md_rows, const uint64_t* meta_rows,
+                     int64_t n, int64_t meta_n, const int32_t* order,
+                     int64_t npad, int64_t w8, int64_t lanes,
+                     int64_t md_stride, int64_t meta_rows_out,
+                     int32_t* buf, int32_t* metab) {
+  const int64_t words = w8 * 8;
+  const int64_t nwords_src = md_stride / 4;
+  const int64_t block_stride = words * lanes;
+  const int64_t meta_stride = meta_rows_out * lanes;
+  for (int64_t r = 0; r < npad; ++r) {
+    const int64_t b = r / lanes;
+    const int64_t l = r % lanes;
+    const int64_t src = order[r];
+    int32_t* bb = buf + b * block_stride + l;
+    int32_t* mb = metab + b * meta_stride + l;
+    if (src < n) {
+      const uint8_t* p = reinterpret_cast<const uint8_t*>(md_rows[src]);
+      const int64_t nw = words < nwords_src ? words : nwords_src;
+      for (int64_t k = 0; k < nw; ++k) {
+        const uint32_t w = (static_cast<uint32_t>(p[4 * k]) << 24) |
+                           (static_cast<uint32_t>(p[4 * k + 1]) << 16) |
+                           (static_cast<uint32_t>(p[4 * k + 2]) << 8) |
+                           static_cast<uint32_t>(p[4 * k + 3]);
+        bb[k * lanes] = static_cast<int32_t>(w);
+      }
+      for (int64_t k = nw; k < words; ++k) bb[k * lanes] = 0;
+      const int32_t* m = reinterpret_cast<const int32_t*>(meta_rows[src]);
+      for (int64_t j = 0; j < meta_n; ++j) mb[j * lanes] = m[j];
+      for (int64_t j = meta_n; j < meta_rows_out; ++j) mb[j * lanes] = 0;
+    } else {
+      for (int64_t k = 0; k < words; ++k) bb[k * lanes] = 0;
+      for (int64_t j = 0; j < meta_rows_out; ++j) mb[j * lanes] = 0;
+    }
+  }
+}
+
 }  // extern "C"

@@ -100,17 +100,53 @@ def _single_track_fn(n_channels: int, sample_rate: int, dtype):
     )
 
 
-def _analyze_mp3_on_device(path, dtype):
-    """Whole-track device pipeline; only scalars return to host."""
-    from .parallel.runner import prepare_batch_arrays
+@lru_cache(maxsize=None)
+def _single_track_fn_light(n_channels: int, sample_rate: int, dtype,
+                           w8_cap: int, nb: int, interpret: bool):
+    from .parallel.runner import _analysis_core_light
 
-    u = frontend.unpack_file(path)
-    if u.n == 0:
-        raise AnalysisError("No valid MP3 frames found")
-    sr, nch = u.sample_rate, u.n_channels
-    args = prepare_batch_arrays([u], nch)
-    fn = _single_track_fn(nch, sr, dtype)
-    hist, loud_idx, peak = fn(*args)
+    return jax.jit(
+        partial(
+            _analysis_core_light,
+            w8_cap=w8_cap, nb=nb,
+            n_channels=n_channels, sample_rate=sample_rate,
+            dtype=dtype, interpret=interpret,
+        )
+    )
+
+
+def _analyze_mp3_on_device(path, dtype):
+    """Whole-track device pipeline; only scalars return to host.
+
+    On a compiled single-chip TPU the Huffman stage also runs on device
+    (raw-bits manifest + Pallas entropy kernel, decode/entropy_kernel.py);
+    elsewhere the host decodes spectra (decode/frontend.unpack_file)."""
+    from .parallel.runner import (
+        device_entropy_enabled,
+        prepare_batch_arrays,
+        prepare_batch_arrays_light,
+    )
+
+    if device_entropy_enabled():
+        u = frontend.unpack_file_light(path)
+        if u.n == 0:
+            raise AnalysisError("No valid MP3 frames found")
+        sr, nch = u.sample_rate, u.n_channels
+        prep, rest = prepare_batch_arrays_light([u], nch)
+        fn = _single_track_fn_light(
+            nch, sr, dtype, prep.w8_cap, prep.nb,
+            jax.default_backend() != "tpu",
+        )
+        hist, loud_idx, peak = fn(prep.scalars, prep.buf, prep.meta,
+                                  prep.inv, *rest)
+    else:
+        u = frontend.unpack_file(path)
+        if u.n == 0:
+            raise AnalysisError("No valid MP3 frames found")
+        sr, nch = u.sample_rate, u.n_channels
+        args = prepare_batch_arrays([u], nch)
+        fn = _single_track_fn(nch, sr, dtype)
+        hist, loud_idx, peak = fn(*args)
     stats = np.asarray(
         jnp.stack([loud_idx[0].astype(jnp.float32), peak[0].astype(jnp.float32)])
     )

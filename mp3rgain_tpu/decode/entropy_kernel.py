@@ -35,6 +35,7 @@ asserts exact integer spectrum equality on all fixture classes.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
@@ -48,12 +49,30 @@ from jax.experimental.pallas import tpu as pltpu
 from . import frontend as fe
 from .entropy_tables import L3_PAIR1, N_GROUPS_A, build_luts
 
+
+def _declare_pack(lib):
+    import ctypes
+
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.mg_entropy_pack.restype = None
+    lib.mg_entropy_pack.argtypes = [
+        u64p, u64p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p,
+    ]
+
+
+from ..native import _lib as _native_lib  # noqa: E402
+
+_declare_pack(_native_lib)
+
 LANES = 1024  # granule-channels per grid block
 META_ROWS = 16
 MAX_STEPS = 288  # >= bvp + (576-2*bvp)/4 for all legal streams
-# Capacity classes: one compile per (steps_cap, w8_cap); per-block actual
-# bounds are dynamic scalars.
-STEP_CAPS = (48, 96, 160, 224, 288)
+# Capacity classes: one compile per w8_cap (the output is always the
+# fixed (576, LANES) compacted spectrum); per-block loop bounds are
+# dynamic scalars.
 W8_CAPS = (3, 5, 7, 9, 12, 17)
 
 
@@ -70,7 +89,7 @@ def _kernel(lanes: int, n_l2: int):
     nb_rows = 2 * n_l2
 
     def kernel(sref, buf_ref, meta_ref, lutA_ref, lutB_ref, gA_ref, gB_ref,
-               vals_ref, mout_ref):
+               out_ref, mout_ref, c_ref):
         i32 = jnp.int32
         u32 = jnp.uint32
         iota512 = lax.broadcasted_iota(i32, (512, L), 0)
@@ -79,8 +98,9 @@ def _kernel(lanes: int, n_l2: int):
         row8 = lax.broadcasted_iota(i32, (8, L), 0)
 
         pid = pl.program_id(0)
-        nsteps = sref[pid, 0]
-        nw8 = sref[pid, 1]
+        nbig = sref[pid, 0]
+        ncnt = sref[pid, 1]
+        nw8 = sref[pid, 2]
 
         m = meta_ref[0]
         p0 = m[fe.LM_P0 : fe.LM_P0 + 1, :]
@@ -100,17 +120,18 @@ def _kernel(lanes: int, n_l2: int):
         zero = jnp.zeros((1, L), i32)
         zero_u = jnp.zeros((1, L), u32)
 
+        # Both phases write step-uniform rows, so the output block is the
+        # COMPACTED (576, L) spectrum and no XLA gather is needed (an
+        # elementwise take_along_axis over the old stride-4 buffer cost
+        # ~20x the kernel itself on TPU).
+        out_ref[0] = jnp.zeros((576, L), i32)
+        c_ref[...] = jnp.zeros((576, L), i32)
+
         def sel3(j, a, b, c):
             return jnp.where(j == 0, a, jnp.where(j == 1, b, c))
 
-        def step(k, carry):
-            p, n, q, alive, bad_ever, pending = carry
-            big = n < bvp
-            ok = (p < pend) & (alive == 1)
-            can_big = big & ok
-            can_cnt = (~big) & ok & (2 * n + 4 * q + 4 <= 576)
-            act = can_big | can_cnt
-
+        def make_extract(p):
+            """Bit extractor for windows within ~80 bits after `p`."""
             wi = p >> 5
 
             def fetch(wg, accs):
@@ -142,29 +163,36 @@ def _kernel(lanes: int, n_l2: int):
                 )
                 return (cat >> u32(32 - nbits)).astype(i32)
 
-            win1 = extract(p, 9)
-            gbig = jnp.where(n < r0p, g0, jnp.where(n < r1p, g1, g2))
-            linb = jnp.where(n < r0p, l0, jnp.where(n < r1p, l1, l2))
-            gid1 = jnp.where(big, gbig, gcnt)
+            return extract
 
-            # bf16 one-hot matmuls are exact here: each one-hot column
-            # copies one packed-byte LUT row (values <= 255), and the
-            # group-select reduction sums <= 1 nonzero value per field.
+        def lookup_a(extract, p, gid):
+            """9-bit window -> LUT_A fields (exact bf16 one-hot matmuls:
+            each one-hot column copies one packed-byte LUT row, and the
+            group-select reduction sums <= 1 nonzero value per field)."""
+            win1 = extract(p, 9)
             oh1 = (win1 == iota512).astype(jnp.bfloat16)
             resA = lax.dot_general(
                 lutA_ref[:], oh1, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (na_rows, L)
-            mA = (iotaA == gid1).astype(jnp.bfloat16)
+            mA = (iotaA == gid).astype(jnp.bfloat16)
             fA = lax.dot_general(
                 gA_ref[:], (resA * mA).astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ).astype(i32)  # (2, L): [ab, adv+16*flag]
-            ab1 = fA[0:1, :]
-            adv1 = fA[1:2, :] & 15
-            flag1 = fA[1:2, :] >> 4
+            return fA[0:1, :], fA[1:2, :] & 15, fA[1:2, :] >> 4
+
+        # --- phase 1: big values; pair k lands at rows (2k, 2k+1) --------
+        def big_step(k, carry):
+            p, n, alive, bad_ever, pending = carry
+            can_big = (k < bvp) & (p < pend) & (alive == 1)
+
+            extract = make_extract(p)
+            gbig = jnp.where(n < r0p, g0, jnp.where(n < r1p, g1, g2))
+            linb = jnp.where(n < r0p, l0, jnp.where(n < r1p, l1, l2))
+            ab1, adv1, flag1 = lookup_a(extract, p, gbig)
             cont = (flag1 == 1) & can_big
-            bad = (flag1 == 3) & act
+            bad = (flag1 == 3) & can_big
 
             win2x = extract(p + adv1, 10)
             win2 = win2x >> 1
@@ -188,7 +216,7 @@ def _kernel(lanes: int, n_l2: int):
             y = jnp.where(cont, b2_, ab1 >> 4)
             clen = jnp.where(cont, 9 + adv2, adv1)
 
-            # --- big-values: escape linbits + sign bits -------------------
+            # escape linbits + sign bits
             qq = p + clen
             e1 = extract(qq, 14)
             ex = (x == 15) & (linb > 0)
@@ -209,7 +237,46 @@ def _kernel(lanes: int, n_l2: int):
             yv = jnp.where(sy & (ybit == 1), -yv, yv)
             p_big = q2 + ly + sy.astype(i32)
 
-            # --- count1 quad: 4 values in {-1, 0, 1} ----------------------
+            emit = can_big & (~bad)
+            s0v = jnp.where(emit, xv, 0)
+            s1v = jnp.where(emit, yv, 0)
+
+            r = (2 * k) % 8
+            pending = jnp.where(row8 == r, s0v, pending)
+            pending = jnp.where(row8 == r + 1, s1v, pending)
+
+            @pl.when(k % 4 == 3)
+            def _():
+                out_ref[0, pl.ds(8 * (k // 4), 8), :] = pending
+
+            p = jnp.where(emit, p_big, p)
+            n = n + emit.astype(i32)
+            alive = jnp.where(bad, 0, alive)
+            bad_ever = jnp.where(bad, 1, bad_ever)
+            return (p, n, alive, bad_ever, pending)
+
+        init1 = (
+            p0,
+            zero,
+            jnp.ones((1, L), i32),
+            jnp.zeros((1, L), i32),
+            jnp.zeros((8, L), i32),
+        )
+        p, n, alive, bad_ever, _ = lax.fori_loop(0, nbig, big_step, init1)
+
+        # --- phase 2: count1 quads; quad j at scratch rows 4j..4j+3 ------
+        def cnt_step(j, carry):
+            p, q, alive, bad_ever, pending = carry
+            can_cnt = (
+                (p < pend) & (alive == 1) & (2 * n + 4 * q + 4 <= 576)
+            )
+
+            extract = make_extract(p)
+            ab1, adv1, flag1 = lookup_a(extract, p, gcnt)
+            bad = (flag1 == 3) & can_cnt
+
+            qq = p + adv1
+            e1 = extract(qq, 14)
             v = ab1 & 15
             v3 = (v >> 3) & 1
             v2_ = (v >> 2) & 1
@@ -219,7 +286,7 @@ def _kernel(lanes: int, n_l2: int):
             o2 = v3 + v2_
             o3 = o2 + v1_
             nz = o3 + v0_
-            sb = e1 >> 10  # 4 sign bits at qq (same extract as big x-part)
+            sb = e1 >> 10  # 4 sign bits at qq
             c0 = jnp.where(v3 == 1, 1 - 2 * ((sb >> 3) & 1), 0)
             c1 = jnp.where(v2_ == 1, 1 - 2 * ((sb >> (3 - o1)) & 1), 0)
             c2 = jnp.where(v1_ == 1, 1 - 2 * ((sb >> (3 - o2)) & 1), 0)
@@ -227,39 +294,42 @@ def _kernel(lanes: int, n_l2: int):
             p_cnt = qq + nz
             over = can_cnt & (p_cnt > pend)
 
-            emit_big = can_big & (~bad)
-            emit_cnt = can_cnt & (~over) & (~bad)
-            s0v = jnp.where(emit_big, xv, jnp.where(emit_cnt, c0, 0))
-            s1v = jnp.where(emit_big, yv, jnp.where(emit_cnt, c1, 0))
-            s2v = jnp.where(emit_cnt, c2, 0)
-            s3v = jnp.where(emit_cnt, c3, 0)
+            emit = can_cnt & (~over) & (~bad)
+            s0v = jnp.where(emit, c0, 0)
+            s1v = jnp.where(emit, c1, 0)
+            s2v = jnp.where(emit, c2, 0)
+            s3v = jnp.where(emit, c3, 0)
 
-            r = (4 * k) % 8
+            r = (4 * j) % 8
             pending = jnp.where(row8 == r, s0v, pending)
             pending = jnp.where(row8 == r + 1, s1v, pending)
             pending = jnp.where(row8 == r + 2, s2v, pending)
             pending = jnp.where(row8 == r + 3, s3v, pending)
 
-            @pl.when(k % 2 == 1)
+            @pl.when(j % 2 == 1)
             def _():
-                vals_ref[0, pl.ds(8 * (k // 2), 8), :] = pending
+                c_ref[pl.ds(8 * (j // 2), 8), :] = pending
 
-            p = jnp.where(emit_big, p_big, jnp.where(emit_cnt, p_cnt, p))
-            n = n + emit_big.astype(i32)
-            q = q + emit_cnt.astype(i32)
+            p = jnp.where(emit, p_cnt, p)
+            q = q + emit.astype(i32)
             alive = jnp.where(bad | over, 0, alive)
             bad_ever = jnp.where(bad, 1, bad_ever)
-            return (p, n, q, alive, bad_ever, pending)
+            return (p, q, alive, bad_ever, pending)
 
-        init = (
-            p0,
-            zero,
-            zero,
-            jnp.ones((1, L), i32),
-            jnp.zeros((1, L), i32),
-            jnp.zeros((8, L), i32),
-        )
-        p, n, q, alive, bad_ever, _ = lax.fori_loop(0, nsteps, step, init)
+        init2 = (p, zero, alive, bad_ever, jnp.zeros((8, L), i32))
+        p, q, alive, bad_ever, _ = lax.fori_loop(0, ncnt, cnt_step, init2)
+
+        # --- place count1: per-lane barrel shift by 2*big_values ---------
+        # Quad j belongs at spectrum rows 2*bvp + 4j + m; the scratch has
+        # it at 4j + m, so roll down by s = 2*bvp (circular is safe: the
+        # wrapped region sources only rows >= 4*quads, which are zero).
+        s = 2 * bvp  # (1, L), 0..576
+        cv = c_ref[...]
+        for b in range(10):
+            amt = 1 << b
+            hit = ((s >> b) & 1) == 1
+            cv = jnp.where(hit, jnp.roll(cv, amt, axis=0), cv)
+        out_ref[0] = out_ref[0] + cv
 
         badi = bad_ever
         mout = jnp.concatenate(
@@ -313,19 +383,24 @@ def _luts_packed():
     for f in range(2):
         gA[f, f::2] = 1
         gB[f, f::2] = 1
+    # Keep these as numpy (ml_dtypes bf16): _luts_packed is lru-cached and
+    # may first run inside an enclosing jit trace — jnp conversions there
+    # would cache leaked tracers.
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
     return (
-        jnp.asarray(lutA_T, jnp.bfloat16),
-        jnp.asarray(lutB_T, jnp.bfloat16),
-        jnp.asarray(gA, jnp.bfloat16),
-        jnp.asarray(gB, jnp.bfloat16),
+        np.asarray(lutA_T, bf16),
+        np.asarray(lutB_T, bf16),
+        np.asarray(gA, bf16),
+        np.asarray(gB, bf16),
         n_l2,
     )
 
 
 @lru_cache(maxsize=None)
-def _decode_call(steps_cap: int, w8_cap: int, nb: int, interpret: bool):
+def _decode_call(w8_cap: int, nb: int, interpret: bool):
     lutA_T, lutB_T, gA, gB, n_l2 = _luts_packed()
-    rows = 4 * steps_cap
     kern = _kernel(LANES, n_l2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -346,17 +421,18 @@ def _decode_call(steps_cap: int, w8_cap: int, nb: int, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, rows, LANES), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((1, 576, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((576, LANES), jnp.int32)],
     )
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((nb, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 576, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nb, 8, LANES), jnp.int32),
         ),
         interpret=interpret,
@@ -378,83 +454,170 @@ def _estimate_steps(meta: np.ndarray) -> np.ndarray:
     return np.minimum(bvp + quads, MAX_STEPS).astype(np.int32)
 
 
+@dataclass
+class PreparedEntropy:
+    """Host-prepped kernel inputs for one batch of granule-channels.
+
+    The numpy arrays are the exact device transfer payload; the ints are
+    the static compile keys (capacity class + grid size).
+    """
+
+    scalars: np.ndarray  # (nb, 3) int32 [nbig, ncnt, nw8] dynamic bounds
+    buf: np.ndarray  # (nb, w8_cap, 8, LANES) int32 main-data words
+    meta: np.ndarray  # (nb, META_ROWS, LANES) int32
+    inv: np.ndarray  # (npad,) unsort permutation back to input order
+    w8_cap: int
+    nb: int
+    n: int  # real (unpadded) row count
+
+    @property
+    def npad(self) -> int:
+        return self.nb * LANES
+
+
+# nb quantization keeps the compiled-executable population small across
+# varying batch sizes; padding blocks carry zero meta so their dynamic
+# step bound is the minimum and they cost ~nothing on device.
+NB_CAPS = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384,
+           512, 768, 1024)
+
+
+def prepare_batch(md, meta, quantize_nb: bool = False) -> PreparedEntropy:
+    """Pack per-gch Huffman windows into sorted, blocked kernel inputs.
+
+    md: (N, >=bytes) uint8 main-data windows (from unpack_data_light),
+    or a list of such arrays (one per track — never concatenated; the
+    native packer walks per-row pointers); meta: matching (N,
+    LIGHT_META_N) int32 array or list.
+    """
+    import ctypes
+
+    from ..native import _lib
+
+    md_list = list(md) if isinstance(md, (list, tuple)) else [md]
+    meta_list = list(meta) if isinstance(meta, (list, tuple)) else [meta]
+    md_list = [np.ascontiguousarray(m) for m in md_list]
+    meta_list = [np.ascontiguousarray(m, dtype=np.int32) for m in meta_list]
+    counts = [m.shape[0] for m in md_list]
+    n = int(sum(counts))
+    md_stride = md_list[0].shape[1] if md_list else fe.MD_STRIDE
+
+    nb = max(1, -(-n // LANES))
+    if quantize_nb:
+        nb = _cap(nb, NB_CAPS) if nb <= NB_CAPS[-1] else nb
+    npad = nb * LANES
+
+    est = np.zeros(npad, np.int32)
+    bvp = np.zeros(npad, np.int32)
+    quads = np.zeros(npad, np.int32)
+    bits = np.zeros(npad, np.int64)
+    off = 0
+    for m, c in zip(meta_list, counts):
+        b = m[:, fe.LM_BVP].astype(np.int64)
+        p23 = m[:, fe.LM_P23].astype(np.int64)
+        qd = np.clip(np.minimum((576 - 2 * b) // 4, p23), 0, None)
+        bvp[off : off + c] = b
+        quads[off : off + c] = qd
+        est[off : off + c] = np.minimum(b + qd, MAX_STEPS)
+        bits[off : off + c] = m[:, fe.LM_P0].astype(np.int64) + p23
+        off += c
+    # Sort lanes by estimated steps so each block's dynamic bound is tight.
+    order = np.argsort(est, kind="stable").astype(np.int32)
+    inv = np.empty(npad, dtype=np.int32)
+    inv[order] = np.arange(npad, dtype=np.int32)
+
+    bvp_s = bvp[order].reshape(nb, LANES)
+    quads_s = quads[order].reshape(nb, LANES)
+    bits_s = bits[order].reshape(nb, LANES)
+    # Phase bounds: big pairs (multiple of 4 for the 8-row flush cadence),
+    # count1 quads (multiple of 2).
+    nbig_b = (bvp_s.max(axis=1) + 3) // 4 * 4
+    ncnt_b = (quads_s.max(axis=1) + 1) // 2 * 2
+    # words needed: window bits + 64 slack for mid-symbol overreach
+    w8_b = np.maximum((bits_s.max(axis=1) + 64 + 255) // 256, 1)
+
+    w8_cap = _cap(int(w8_b.max()), W8_CAPS)
+
+    # Per-row base pointers: the native packer gathers + big-endian word
+    # packs + lane-transposes in one pass (numpy took ~20 s per 64x60s
+    # batch on a 1-core host).
+    md_rows = np.empty(max(n, 1), dtype=np.uint64)
+    meta_rows = np.empty(max(n, 1), dtype=np.uint64)
+    off = 0
+    for m, mm, c in zip(md_list, meta_list, counts):
+        if c == 0:
+            continue
+        md_rows[off : off + c] = (
+            m.ctypes.data + np.arange(c, dtype=np.uint64) * m.strides[0]
+        )
+        meta_rows[off : off + c] = (
+            mm.ctypes.data + np.arange(c, dtype=np.uint64) * mm.strides[0]
+        )
+        off += c
+
+    buf = np.empty((nb, w8_cap, 8, LANES), dtype=np.int32)
+    metab = np.empty((nb, META_ROWS, LANES), dtype=np.int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    _lib.mg_entropy_pack(
+        md_rows.ctypes.data_as(u64p), meta_rows.ctypes.data_as(u64p),
+        ctypes.c_int64(n), ctypes.c_int64(fe.LIGHT_META_N),
+        order.ctypes.data_as(i32p), ctypes.c_int64(npad),
+        ctypes.c_int64(w8_cap), ctypes.c_int64(LANES),
+        ctypes.c_int64(md_stride), ctypes.c_int64(META_ROWS),
+        buf.ctypes.data_as(i32p), metab.ctypes.data_as(i32p),
+    )
+
+    scalars = np.stack(
+        [nbig_b.astype(np.int32), ncnt_b.astype(np.int32),
+         w8_b.astype(np.int32)], axis=1
+    )
+    return PreparedEntropy(
+        scalars=scalars, buf=buf, meta=metab, inv=inv,
+        w8_cap=w8_cap, nb=nb, n=n,
+    )
+
+
+def decode_device(scalars, buf, meta, inv, *, w8_cap: int,
+                  nb: int, interpret: bool = False):
+    """Traceable device-side decode over prepared inputs.
+
+    Returns (spectrum (npad, 576) int32, big_end (npad,), count1_end
+    (npad,), ok (npad,) bool) in *input* order (the caller slices [:n]).
+    Safe to call inside an enclosing jit — the pallas call inlines.
+    """
+    npad = nb * LANES
+    run = _decode_call(w8_cap, nb, interpret)
+    spec_b, mout = run(scalars, buf, meta)  # spec_b already compacted
+
+    # Bad lanes report c1end 0 and must read as all-zero spectra
+    # (values emitted before the stream went bad stay in the buffer).
+    ce_b = mout[:, 1:2, :]
+    i = jnp.arange(576, dtype=jnp.int32)[None, :, None]  # (1, 576, 1)
+    spec_b = jnp.where(i < ce_b, spec_b, 0)
+
+    # -> sorted (npad, .) -> unsort to input order (axis-0 row gathers,
+    # the TPU-fast gather form).
+    spec = spec_b.transpose(0, 2, 1).reshape(npad, 576)[inv]
+    mout_n = mout.transpose(0, 2, 1).reshape(npad, 8)[inv]
+    big_end = mout_n[:, 0]
+    c1end = mout_n[:, 1]
+    ok = mout_n[:, 2] == 0
+    return spec, big_end, c1end, ok
+
+
 def decode_spectra(md: np.ndarray, meta: np.ndarray, *,
                    interpret: bool = False):
     """Decode per-gch Huffman windows into (N, 576) int32 spectra.
 
-    md: (N, >=bytes) uint8 main-data windows (from unpack_data_light);
-    meta: (N, LIGHT_META_N) int32.
-    Returns (spectrum (N, 576) int32, big_end (N,), count1_end (N,),
-    ok (N,) bool) as jax arrays on the default device.
+    Convenience wrapper over prepare_batch + decode_device for
+    single-shot use (tests, small files). Returns (spectrum (N, 576)
+    int32, big_end (N,), count1_end (N,), ok (N,) bool) as jax arrays.
     """
-    n = md.shape[0]
-    nb = max(1, -(-n // LANES))
-    npad = nb * LANES
-
-    est = np.zeros(npad, np.int32)
-    est[:n] = _estimate_steps(meta)
-    bits = np.zeros(npad, np.int64)
-    bits[:n] = meta[:, fe.LM_P0].astype(np.int64) + meta[:, fe.LM_P23]
-    # Sort lanes by estimated steps so each block's dynamic bound is tight.
-    order = np.argsort(est, kind="stable")
-    inv = np.empty_like(order)
-    inv[order] = np.arange(npad)
-
-    est_s = est[order].reshape(nb, LANES)
-    bits_s = bits[order].reshape(nb, LANES)
-    steps_b = est_s.max(axis=1)
-    steps_b = np.maximum((steps_b + 1) // 2 * 2, 2)  # even, >= 2
-    # words needed: window bits + 64 slack for mid-symbol overreach
-    w8_b = np.maximum((bits_s.max(axis=1) + 64 + 255) // 256, 1)
-
-    steps_cap = _cap(int(steps_b.max()), STEP_CAPS)
-    w8_cap = _cap(int(w8_b.max()), W8_CAPS)
-    w = 8 * w8_cap
-
-    src_rows = order  # (npad,)
-    take = min(md.shape[1], w * 4)
-    mdp = np.zeros((npad, w * 4), np.uint8)
-    valid_rows = src_rows < n
-    mdp[valid_rows, :take] = md[src_rows[valid_rows], :take]
-    words = (
-        (mdp[:, 0::4].astype(np.uint32) << 24)
-        | (mdp[:, 1::4].astype(np.uint32) << 16)
-        | (mdp[:, 2::4].astype(np.uint32) << 8)
-        | mdp[:, 3::4].astype(np.uint32)
+    p = prepare_batch(md, meta)
+    spec, big_end, c1end, ok = decode_device(
+        jnp.asarray(p.scalars), jnp.asarray(p.buf), jnp.asarray(p.meta),
+        jnp.asarray(p.inv), w8_cap=p.w8_cap,
+        nb=p.nb, interpret=interpret,
     )
-    buf = (
-        words.view(np.int32)
-        .reshape(nb, LANES, w8_cap, 8)
-        .transpose(0, 2, 3, 1)
-    )
-    buf = np.ascontiguousarray(buf)
-
-    metap = np.zeros((npad, META_ROWS), np.int32)
-    metap[valid_rows, : meta.shape[1]] = meta[src_rows[valid_rows]]
-    metab = np.ascontiguousarray(
-        metap.reshape(nb, LANES, META_ROWS).transpose(0, 2, 1)
-    )
-    scalars = np.stack(
-        [steps_b.astype(np.int32), w8_b.astype(np.int32)], axis=1
-    )
-
-    run = _decode_call(steps_cap, w8_cap, nb, interpret)
-    vals, mout = run(jnp.asarray(scalars), jnp.asarray(buf),
-                     jnp.asarray(metab))
-
-    # (nb, rows, LANES) -> sorted (npad, rows) -> unsort to input order.
-    rows = vals.shape[1]
-    inv_j = jnp.asarray(inv)
-    vals_n = vals.transpose(0, 2, 1).reshape(npad, rows)[inv_j][:n]
-    mout_n = mout.transpose(0, 2, 1).reshape(npad, 8)[inv_j][:n]
-    big_end = mout_n[:, 0]
-    c1end = mout_n[:, 1]
-    ok = mout_n[:, 2] == 0
-
-    i = jnp.arange(576, dtype=jnp.int32)[None, :]
-    bp2 = big_end[:, None]
-    src = jnp.where(i < bp2, 4 * (i >> 1) + (i & 1), i + bp2)
-    src = jnp.minimum(src, rows - 1)
-    spec = jnp.take_along_axis(vals_n, src, axis=1)
-    spec = jnp.where(i < c1end[:, None], spec, 0)
-    return spec, big_end, c1end, ok
+    return spec[: p.n], big_end[: p.n], c1end[: p.n], ok[: p.n]

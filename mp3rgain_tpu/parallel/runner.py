@@ -96,17 +96,11 @@ def _unpack_spectrum(spec_i8, esc_idx, esc_val):
     return spec
 
 
-def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
+def _analysis_tail(spectrum, scf, info, valid_samples,
                    *, n_channels: int, sample_rate: int, dtype):
-    """Single-shard batched pipeline. Leading dim = local batch of tracks.
-
-    Inputs are the compact host→device manifest: spec_i8 (B, G, EXT) int8
-    + escape sideband (B, G, E) int16 pairs, scf (B, G, 64) int8,
-    info (B, G, INFO_N) int32, valid_samples (B,).
-    """
+    """Shared device pipeline tail: full (B, G, 576) spectra → results."""
     from ..decode.format_tables import SR_ROW
 
-    spectrum = _unpack_spectrum(spec_i8, esc_idx, esc_val)
     fields = _derive_fields(spectrum, scf, info, n_channels=n_channels)
     sr_row = SR_ROW[sample_rate]
 
@@ -127,6 +121,56 @@ def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
     hist = hi._histogram_jit(filtered, valid_samples, hi.window_size(sample_rate))
     loud_idx = hi.loudness_index_device(hist)
     return hist, loud_idx, peak
+
+
+def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
+                   *, n_channels: int, sample_rate: int, dtype):
+    """Single-shard batched pipeline. Leading dim = local batch of tracks.
+
+    Inputs are the compact host→device manifest: spec_i8 (B, G, EXT) int8
+    + escape sideband (B, G, E) int16 pairs, scf (B, G, 64) int8,
+    info (B, G, INFO_N) int32, valid_samples (B,).
+    """
+    spectrum = _unpack_spectrum(spec_i8, esc_idx, esc_val)
+    return _analysis_tail(
+        spectrum, scf, info, valid_samples,
+        n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+    )
+
+
+def _analysis_core_light(scalars, buf, metab, inv, rowmap, scf, info,
+                         valid_samples, *, w8_cap: int,
+                         nb: int, n_channels: int, sample_rate: int,
+                         dtype, interpret: bool = False):
+    """Raw-bits batched pipeline: device entropy decode + analysis tail.
+
+    The host→device manifest is the raw main-data words (decode/
+    entropy_kernel.PreparedEntropy) — ~4x smaller than decoded spectra —
+    plus rowmap (B, G) int32 mapping padded track-granule slots to kernel
+    output rows (npad = dummy/empty slot). The whole thing traces into ONE
+    device dispatch: Pallas Huffman decode → gather into (B, G, 576) →
+    synthesis → equal-loudness IIR → loudness histogram.
+    """
+    from ..decode import entropy_kernel as ek
+
+    spec, big_end, c1end, _ok = ek.decode_device(
+        scalars, buf, metab, inv,
+        w8_cap=w8_cap, nb=nb, interpret=interpret,
+    )
+    # Row npad is the dummy target for padding slots.
+    zrow = jnp.zeros((1, 576), spec.dtype)
+    spec = jnp.concatenate([spec, zrow], axis=0)
+    zs = jnp.zeros((1,), big_end.dtype)
+    big_end = jnp.concatenate([big_end, zs])
+    c1end = jnp.concatenate([c1end, zs])
+
+    spectrum = spec[rowmap]  # (B, G, 576) row gather
+    info = info.at[..., fe.BIG_END].set(big_end[rowmap])
+    info = info.at[..., fe.COUNT1_END].set(c1end[rowmap])
+    return _analysis_tail(
+        spectrum, scf, info, valid_samples,
+        n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+    )
 
 
 def prepare_batch_arrays(
@@ -182,6 +226,45 @@ def prepare_batch_arrays(
     esc_idx = esc_idx.reshape(bpad, g_max, n_esc)
     esc_val = esc_val.reshape(bpad, g_max, n_esc)
     return (spec_i8, esc_idx, esc_val, scf, info, valid_samples)
+
+
+def prepare_batch_arrays_light(
+    unpacked: list[fe.UnpackedMp3Light], n_channels: int,
+    pad_batch_to: int = 1,
+):
+    """Pack light-unpacked tracks for _analysis_core_light.
+
+    Returns (prep: PreparedEntropy, (rowmap, scf, info, valid_samples)).
+    rowmap maps (track, granule-slot) → kernel output row; empty padding
+    slots map to prep.npad (the dummy zero row appended on device).
+    """
+    from ..decode import entropy_kernel as ek
+
+    bsz = len(unpacked)
+    g_max = max(u.n for u in unpacked)
+    unit = 2 * n_channels
+    g_max = -(-g_max // unit) * unit
+    bpad = -(-bsz // pad_batch_to) * pad_batch_to
+
+    prep = ek.prepare_batch(
+        [u.md for u in unpacked], [u.meta for u in unpacked],
+        quantize_nb=True,
+    )
+
+    rowmap = np.full((bpad, g_max), prep.npad, dtype=np.int32)
+    info = np.zeros((bpad, g_max, fe.INFO_N), dtype=np.int32)
+    scf = np.zeros((bpad, g_max, fe.SCF_SLOTS), dtype=np.int8)
+    off = 0
+    for i, u in enumerate(unpacked):
+        rowmap[i, : u.n] = np.arange(off, off + u.n, dtype=np.int32)
+        info[i, : u.n] = u.info
+        scf[i, : u.n] = u.scf
+        off += u.n
+    valid_samples = np.array(
+        [u.n // n_channels * 576 for u in unpacked] + [0] * (bpad - bsz),
+        dtype=np.int32,
+    )
+    return prep, (rowmap, scf, info, valid_samples)
 
 
 # ---------------------------------------------------------------------------
@@ -256,6 +339,54 @@ class MeshRunner:
         self._jitted[key] = run
         return run
 
+    def _pipeline_light(self, n_channels: int, sample_rate: int,
+                        w8_cap: int, nb: int):
+        """Raw-bits pipeline (device entropy decode). Single-device only:
+        the Pallas grid already spans the whole batch; data parallelism
+        over a mesh keeps the host-decoded path (analyze_unpacked)."""
+        interpret = jax.default_backend() != "tpu"
+        key = ("light", n_channels, sample_rate, w8_cap, nb, interpret)
+        if key in self._jitted:
+            return self._jitted[key]
+        core = partial(
+            _analysis_core_light,
+            w8_cap=w8_cap, nb=nb,
+            n_channels=n_channels, sample_rate=sample_rate,
+            dtype=self.dtype, interpret=interpret,
+        )
+        run = jax.jit(core)
+        self._jitted[key] = run
+        return run
+
+    def analyze_unpacked_light(
+        self, unpacked: list[fe.UnpackedMp3Light], sample_rate: int,
+        n_channels: int,
+    ):
+        """Analyze same-format tracks from the raw-bits manifest.
+
+        Same contract as analyze_unpacked, but the host→device payload is
+        raw main-data words and the Huffman decode runs on device (one
+        dispatch end-to-end)."""
+        bsz = len(unpacked)
+        prep, (rowmap, scf, info, valid) = prepare_batch_arrays_light(
+            unpacked, n_channels, 1
+        )
+        dev_args = jax.device_put(
+            (prep.scalars, prep.buf, prep.meta, prep.inv,
+             rowmap, scf, info, valid)
+        )
+        run = self._pipeline_light(
+            n_channels, sample_rate, prep.w8_cap, prep.nb
+        )
+        hist, loud_idx, peak = run(*dev_args)
+        stats = np.asarray(
+            jnp.concatenate(
+                [loud_idx[:bsz].astype(jnp.float32), peak[:bsz].astype(jnp.float32)]
+            )
+        )
+        louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
+        return hist[:bsz], louds, stats[bsz:]
+
     def _album_reduce(self):
         """Device-side album reduction: histogram psum + peak max."""
         mesh = self.mesh
@@ -321,15 +452,35 @@ class MeshRunner:
         return np.asarray(total_h), float(total_p)
 
 
+def device_entropy_enabled(n_devices: int = 1) -> bool:
+    """Route the entropy decode on-device when it can win.
+
+    Default: compiled TPU, single device (the Pallas grid spans the whole
+    batch; dp meshes keep the host-decoded path). Override with
+    MP3RGAIN_DEVICE_ENTROPY=1/0 — tests use 1 to force the interpret-mode
+    kernel on CPU."""
+    env = os.environ.get("MP3RGAIN_DEVICE_ENTROPY")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return n_devices == 1 and jax.default_backend() == "tpu"
+
+
+def use_device_entropy(runner: MeshRunner) -> bool:
+    return device_entropy_enabled(runner.n_devices)
+
+
 def analyze_library(
     paths,
     runner: MeshRunner | None = None,
     album: bool = False,
     dtype=jnp.float32,
+    device_entropy: bool | None = None,
 ) -> BatchResult:
     """Analyze many tracks with bucketed batching and fault isolation."""
     runner = runner or MeshRunner(dtype=dtype)
     t0 = time.monotonic()
+    if device_entropy is None:
+        device_entropy = use_device_entropy(runner)
 
     outcomes: dict[int, TrackOutcome] = {}
     buckets: dict[tuple[int, int], list[tuple[int, fe.UnpackedMp3]]] = {}
@@ -338,8 +489,10 @@ def analyze_library(
     # Host entropy decode scales across cores: the native unpack runs
     # without the GIL (ctypes foreign call), so a thread pool gives
     # near-linear speedup on multi-core hosts (no-op on one core).
+    # With device_entropy the host stage is the ~14x cheaper light walk
+    # (side info + scalefactors only) and Huffman decode runs on-chip.
     def _unpack(path):
-        u = fe.unpack_file(path)
+        u = (fe.unpack_file_light if device_entropy else fe.unpack_file)(path)
         if u.n == 0:
             raise RuntimeError("No valid MP3 frames found")
         return u
@@ -366,7 +519,12 @@ def analyze_library(
             chunk = members[start : start + runner.max_batch]
             idxs = [i for i, _ in chunk]
             ups = [u for _, u in chunk]
-            hist_dev, louds, peaks = runner.analyze_unpacked(ups, sr, nch)
+            analyze = (
+                runner.analyze_unpacked_light
+                if device_entropy
+                else runner.analyze_unpacked
+            )
+            hist_dev, louds, peaks = analyze(ups, sr, nch)
             if album:
                 batch_sum = jnp.sum(hist_dev, axis=0)
                 album_hist_dev = (

@@ -32,8 +32,13 @@ def bench(nb, steps, w8, k, iters=4, quiet=False):
     meta[:, 1] = 1700
     meta[:, 2] = 100
     meta[:, 11] = 16
-    scal = np.stack([np.full(nb, steps, np.int32), np.full(nb, w8, np.int32)], 1)
-    run0 = ek._decode_call(steps, w8, nb, False)
+    # Split `steps` across the two phases like real content (~2/3 big).
+    nbig = max(4, (2 * steps // 3 + 3) // 4 * 4)
+    ncnt = max(2, (steps - nbig + 1) // 2 * 2)
+    scal = np.stack(
+        [np.full(nb, nbig, np.int32), np.full(nb, ncnt, np.int32),
+         np.full(nb, w8, np.int32)], 1)
+    run0 = ek._decode_call(w8, nb, False)
     scald = jax.device_put(jnp.asarray(scal))
     run = lambda b, m: run0(scald, b, m)
 
