@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import frontend as fe
-from .entropy_tables import L3_PAIR1, N_GROUPS_A, build_luts
+from .entropy_tables import F2_L3, N_GROUPS_A, build_luts, build_luts_ml
 
 
 def _declare_pack(lib):
@@ -83,18 +83,21 @@ def _cap(value, caps):
     return caps[-1]
 
 
-def _kernel(lanes: int, n_l2: int):
+def _kernel(lanes: int, n_l2: int, n_l3: int):
     L = lanes
     na_rows = 2 * N_GROUPS_A
     nb_rows = 2 * n_l2
+    nc_rows = 2 * n_l3
 
-    def kernel(sref, buf_ref, meta_ref, lutA_ref, lutB_ref, gA_ref, gB_ref,
-               out_ref, mout_ref, c_ref):
+    def kernel(sref, buf_ref, meta_ref, lutA_ref, lutB_ref, lutC_ref,
+               gA_ref, gB_ref, gC_ref, out_ref, mout_ref, c_ref):
         i32 = jnp.int32
         u32 = jnp.uint32
         iota512 = lax.broadcasted_iota(i32, (512, L), 0)
+        iota32 = lax.broadcasted_iota(i32, (32, L), 0)
         iotaA = lax.broadcasted_iota(i32, (na_rows, L), 0) // 2
         iotaB = lax.broadcasted_iota(i32, (nb_rows, L), 0) // 2
+        iotaC = lax.broadcasted_iota(i32, (nc_rows, L), 0) // 2
         row8 = lax.broadcasted_iota(i32, (8, L), 0)
 
         pid = pl.program_id(0)
@@ -194,9 +197,11 @@ def _kernel(lanes: int, n_l2: int):
             cont = (flag1 == 1) & can_big
             bad = (flag1 == 3) & can_big
 
-            win2x = extract(p + adv1, 10)
-            win2 = win2x >> 1
-            oh2 = (win2 == iota512).astype(jnp.bfloat16)
+            # Continuation levels: two 5-bit windows (9 + 5 + 5 covers the
+            # longest code, 19 bits) — 16x less MXU contraction than one
+            # 9-bit continuation window.
+            win2 = extract(p + 9, 5)
+            oh2 = (win2 == iota32).astype(jnp.bfloat16)
             resB = lax.dot_general(
                 lutB_ref[:], oh2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -205,16 +210,33 @@ def _kernel(lanes: int, n_l2: int):
             fB = lax.dot_general(
                 gB_ref[:], (resB * mB).astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ).astype(i32)  # (2, L): [ab, adv+1]
+            ).astype(i32)  # (2, L): [ab, f2]
             ab2 = fB[0:1, :]
-            adv2 = fB[1:2, :] - 1
-            l3 = cont & (adv2 == 10)
-            b2_ = jnp.where(l3 & ((win2x & 1) == 1), L3_PAIR1[1], ab2 >> 4)
-            bad = bad | (cont & (adv2 < 0))
+            f2 = fB[1:2, :]
+            cont3 = cont & (f2 == F2_L3)
+            bad = bad | (cont & (f2 == 0))
 
-            x = jnp.where(cont, ab2 & 15, ab1 & 15)
-            y = jnp.where(cont, b2_, ab1 >> 4)
-            clen = jnp.where(cont, 9 + adv2, adv1)
+            win3 = extract(p + 14, 5)
+            oh3 = (win3 == iota32).astype(jnp.bfloat16)
+            resC = lax.dot_general(
+                lutC_ref[:], oh3, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (nc_rows, L)
+            mC = (iotaC == ab2).astype(jnp.bfloat16)
+            fC = lax.dot_general(
+                gC_ref[:], (resC * mC).astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).astype(i32)  # (2, L): [ab, rem3]
+            ab3 = fC[0:1, :]
+            rem3 = fC[1:2, :]
+            bad = bad | (cont3 & (rem3 == 0))
+
+            abf = jnp.where(cont3, ab3, jnp.where(cont, ab2, ab1))
+            x = abf & 15
+            y = abf >> 4
+            clen = jnp.where(
+                cont3, 14 + rem3, jnp.where(cont, 9 + f2, adv1)
+            )
 
             # escape linbits + sign bits
             qq = p + clen
@@ -354,12 +376,14 @@ def _kernel(lanes: int, n_l2: int):
 def _luts_packed():
     """Pack LUT fields into bytes: 2 rows per group.
 
-    LUT_A row pair: [a + 16*b (or the L2 group id for long prefixes),
-                     adv + 16*flag]
-    LUT_B row pair: [a + 16*b, adv + 1]  (0 => invalid)
+    LUT_A row pair (512-wide): [a + 16*b (or the L2 group id for long
+                                prefixes), adv + 16*flag]
+    LUT_B row pair (32-wide):  [ab, f2] (f2: 0 invalid, 1..5 rem, 6 L3)
+    LUT_C row pair (32-wide):  [ab, rem3] (0 invalid)
     All values <= 255 so bf16 carries them exactly.
     """
-    lut_a, lut_b, _, _, n_l2 = build_luts()
+    lut_a, _, _, _, _ = build_luts()
+    lut_b5, lut_c5, n_l2, n_l3 = build_luts_ml()
     na = lut_a.reshape(512, N_GROUPS_A, 4).astype(np.int32)
     a, b, adv, flag = na[..., 0], na[..., 1], na[..., 2], na[..., 3]
     # Short codes / count1: ab = a + 16*b. Long prefixes: the group id was
@@ -371,18 +395,16 @@ def _luts_packed():
         packed_a.reshape(512, -1).T
     ).astype(np.float32)
 
-    nb = lut_b.reshape(512, n_l2, 3).astype(np.int32)
-    a2, b2, adv2 = nb[..., 0], nb[..., 1], nb[..., 2]
-    packed_b = np.stack([a2 + 16 * b2, adv2 + 1], axis=-1)
-    lutB_T = np.ascontiguousarray(
-        packed_b.reshape(512, -1).T
-    ).astype(np.float32)
+    lutB_T = np.ascontiguousarray(lut_b5.T).astype(np.float32)
+    lutC_T = np.ascontiguousarray(lut_c5.T).astype(np.float32)
 
     gA = np.zeros((2, lutA_T.shape[0]), np.float32)
     gB = np.zeros((2, lutB_T.shape[0]), np.float32)
+    gC = np.zeros((2, lutC_T.shape[0]), np.float32)
     for f in range(2):
         gA[f, f::2] = 1
         gB[f, f::2] = 1
+        gC[f, f::2] = 1
     # Keep these as numpy (ml_dtypes bf16): _luts_packed is lru-cached and
     # may first run inside an enclosing jit trace — jnp conversions there
     # would cache leaked tracers.
@@ -392,16 +414,23 @@ def _luts_packed():
     return (
         np.asarray(lutA_T, bf16),
         np.asarray(lutB_T, bf16),
+        np.asarray(lutC_T, bf16),
         np.asarray(gA, bf16),
         np.asarray(gB, bf16),
+        np.asarray(gC, bf16),
         n_l2,
+        n_l3,
     )
 
 
 @lru_cache(maxsize=None)
 def _decode_call(w8_cap: int, nb: int, interpret: bool):
-    lutA_T, lutB_T, gA, gB, n_l2 = _luts_packed()
-    kern = _kernel(LANES, n_l2)
+    lutA_T, lutB_T, lutC_T, gA, gB, gC, n_l2, n_l3 = _luts_packed()
+    kern = _kernel(LANES, n_l2, n_l3)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i, s: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -411,14 +440,12 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, META_ROWS, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lutA_T.shape[0], 512), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lutB_T.shape[0], 512), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(gA.shape, lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(gB.shape, lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
+            full(lutA_T.shape),
+            full(lutB_T.shape),
+            full(lutC_T.shape),
+            full(gA.shape),
+            full(gB.shape),
+            full(gC.shape),
         ],
         out_specs=(
             pl.BlockSpec((1, 576, LANES), lambda i, s: (i, 0, 0),
@@ -440,7 +467,7 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
 
     @jax.jit
     def run(scalars, buf, meta):
-        return call(scalars, buf, meta, lutA_T, lutB_T, gA, gB)
+        return call(scalars, buf, meta, lutA_T, lutB_T, lutC_T, gA, gB, gC)
 
     return run
 

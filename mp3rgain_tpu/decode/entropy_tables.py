@@ -175,3 +175,74 @@ def build_luts():
     )
     sel_linbits = np.array([lb for _, lb in select], np.int8)
     return lut_a, lut_b, sel_group, sel_linbits, n_l2
+
+
+# ---------------------------------------------------------------------------
+# Multi-level continuation tables: 5-bit L2/L3 windows.
+#
+# The single-level LUT_B contracts a 512-wide one-hot per step —
+# (384, 512) x (512, lanes) dominated the kernel's MXU time. Continuation
+# codes have at most 10 bits past the 9-bit prefix, so two 5-bit levels
+# cover everything (9 + 5 + 5 = 19 = the longest code, table 13), with
+# 16x less contraction work and no special-cased 19-bit pair.
+# ---------------------------------------------------------------------------
+
+L2_BITS = 5
+L3_BITS = 5
+
+# lut_b5 f-field encoding: 0 invalid, 1..5 remaining length, 6 -> L3.
+F2_L3 = 6
+
+
+@lru_cache(maxsize=None)
+def build_luts_ml():
+    """Returns (lut_b5 (32, n_l2*2) int16 [ab, f2], lut_c5 (32, n_l3*2)
+    int16 [ab, rem3], n_l2, n_l3). ab = x + 16*y. Group ids match
+    build_luts' L2 enumeration (lut_a's FLAG_CONT entries)."""
+    tables, _, _, _ = _parse_tables()
+
+    l2_groups = []
+    l2_index = {}
+    l3_groups = []
+    l3_index = {}
+    for tid in TABLE_IDS:
+        for x, y, c, l in tables[tid]:
+            if l > L1_BITS:
+                key = (tid, c >> (l - L1_BITS))
+                if key not in l2_index:
+                    l2_index[key] = len(l2_groups)
+                    l2_groups.append(key)
+            if l > L1_BITS + L2_BITS:
+                key = (tid, c >> (l - L1_BITS - L2_BITS))
+                if key not in l3_index:
+                    l3_index[key] = len(l3_groups)
+                    l3_groups.append(key)
+    n_l2 = len(l2_groups)
+    n_l3 = max(len(l3_groups), 1)
+
+    lut_b5 = np.zeros((1 << L2_BITS, n_l2 * 2), np.int16)  # f2=0 invalid
+    lut_c5 = np.zeros((1 << L3_BITS, n_l3 * 2), np.int16)  # rem3=0 invalid
+
+    for tid in TABLE_IDS:
+        for x, y, c, l in tables[tid]:
+            if l <= L1_BITS:
+                continue
+            gid2 = l2_index[(tid, c >> (l - L1_BITS))]
+            if l <= L1_BITS + L2_BITS:
+                rem = l - L1_BITS
+                tail = c & ((1 << rem) - 1)
+                base = tail << (L2_BITS - rem)
+                lut_b5[base : base + (1 << (L2_BITS - rem)),
+                       2 * gid2 : 2 * gid2 + 2] = (x + 16 * y, rem)
+            else:
+                # Route this L2 window to the L3 group.
+                pre14 = c >> (l - L1_BITS - L2_BITS)
+                gid3 = l3_index[(tid, pre14)]
+                lut_b5[pre14 & ((1 << L2_BITS) - 1),
+                       2 * gid2 : 2 * gid2 + 2] = (gid3, F2_L3)
+                rem3 = l - L1_BITS - L2_BITS
+                tail = c & ((1 << rem3) - 1)
+                base = tail << (L3_BITS - rem3)
+                lut_c5[base : base + (1 << (L3_BITS - rem3)),
+                       2 * gid3 : 2 * gid3 + 2] = (x + 16 * y, rem3)
+    return lut_b5, lut_c5, n_l2, n_l3
