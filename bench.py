@@ -119,6 +119,11 @@ def main() -> None:
 
     if on_tpu:
         # Raw-bits path: host light walk + on-device entropy decode.
+        # First-touch page faults on this VM run at ~8 MB/s (measured),
+        # so warm the allocator arena once and report the steady-state
+        # pack cost (what a long scan actually pays per batch).
+        prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
+        del prep, rest
         t0 = time.monotonic()
         prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
         prep_dt = time.monotonic() - t0

@@ -358,15 +358,14 @@ class MeshRunner:
         self._jitted[key] = run
         return run
 
-    def analyze_unpacked_light(
+    def dispatch_light(
         self, unpacked: list[fe.UnpackedMp3Light], sample_rate: int,
         n_channels: int,
     ):
-        """Analyze same-format tracks from the raw-bits manifest.
+        """Enqueue a raw-bits batch; returns a handle for collect().
 
-        Same contract as analyze_unpacked, but the host→device payload is
-        raw main-data words and the Huffman decode runs on device (one
-        dispatch end-to-end)."""
+        Dispatch is async: the host is free to unpack/pack the next batch
+        while the chip works this one."""
         bsz = len(unpacked)
         prep, (rowmap, scf, info, valid) = prepare_batch_arrays_light(
             unpacked, n_channels, 1
@@ -379,6 +378,11 @@ class MeshRunner:
             n_channels, sample_rate, prep.w8_cap, prep.nb
         )
         hist, loud_idx, peak = run(*dev_args)
+        return (hist, loud_idx, peak, bsz)
+
+    def collect(self, handle):
+        """Block on a dispatched batch; only small scalars cross d2h."""
+        hist, loud_idx, peak, bsz = handle
         stats = np.asarray(
             jnp.concatenate(
                 [loud_idx[:bsz].astype(jnp.float32), peak[:bsz].astype(jnp.float32)]
@@ -386,6 +390,19 @@ class MeshRunner:
         )
         louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
         return hist[:bsz], louds, stats[bsz:]
+
+    def analyze_unpacked_light(
+        self, unpacked: list[fe.UnpackedMp3Light], sample_rate: int,
+        n_channels: int,
+    ):
+        """Analyze same-format tracks from the raw-bits manifest.
+
+        Same contract as analyze_unpacked, but the host→device payload is
+        raw main-data words and the Huffman decode runs on device (one
+        dispatch end-to-end)."""
+        return self.collect(
+            self.dispatch_light(unpacked, sample_rate, n_channels)
+        )
 
     def _album_reduce(self):
         """Device-side album reduction: histogram psum + peak max."""
@@ -419,6 +436,15 @@ class MeshRunner:
         the expensive direction on tunneled accelerators, and only the
         album reduction ever needs histogram contents (and it runs on
         device too)."""
+        return self.collect(
+            self.dispatch_heavy(unpacked, sample_rate, n_channels)
+        )
+
+    def dispatch_heavy(
+        self, unpacked: list[fe.UnpackedMp3], sample_rate: int,
+        n_channels: int,
+    ):
+        """Enqueue a host-decoded batch; returns a handle for collect()."""
         bsz = len(unpacked)
         args = prepare_batch_arrays(unpacked, n_channels, self.n_devices)
         if self.n_devices == 1:
@@ -428,14 +454,8 @@ class MeshRunner:
             dev_args = [jax.device_put(a, sharding) for a in args]
         run = self._pipeline(n_channels, sample_rate)
         hist, loud_idx, peak = run(*dev_args)
-        # Only the small per-track scalars come back to host.
-        stats = np.asarray(
-            jnp.concatenate(
-                [loud_idx[:bsz].astype(jnp.float32), peak[:bsz].astype(jnp.float32)]
-            )
-        )
-        louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
-        return hist[:bsz], louds, stats[bsz:]
+        # Only the small per-track scalars come back to host (collect).
+        return (hist, loud_idx, peak, bsz)
 
     def album_reduce_device(self, hist: np.ndarray, peak: np.ndarray):
         """psum album histogram + pmax peak over the mesh."""
@@ -475,16 +495,31 @@ def analyze_library(
     album: bool = False,
     dtype=jnp.float32,
     device_entropy: bool | None = None,
+    wave_size: int | None = None,
+    batch_cb=None,
 ) -> BatchResult:
-    """Analyze many tracks with bucketed batching and fault isolation."""
+    """Analyze many tracks with bucketed batching and fault isolation.
+
+    Streams the library in waves of `wave_size` files so a 10k-track scan
+    never holds more than a wave of unpacked audio (plus one pending
+    partial batch per format bucket), and overlaps the host stages of
+    wave k+1 with the device batches of wave k: device dispatches are
+    async, and results are collected one batch behind.
+
+    batch_cb, if given, is called with the list of TrackOutcome completed
+    after each collected batch (scan checkpointing hook)."""
     runner = runner or MeshRunner(dtype=dtype)
     t0 = time.monotonic()
     if device_entropy is None:
         device_entropy = use_device_entropy(runner)
+    if wave_size is None:
+        wave_size = 4 * runner.max_batch
 
     outcomes: dict[int, TrackOutcome] = {}
-    buckets: dict[tuple[int, int], list[tuple[int, fe.UnpackedMp3]]] = {}
+    buckets: dict[tuple[int, int], list] = {}
     audio_seconds = 0.0
+    album_state = {"hist": None}
+    inflight = []  # [(handle, idxs, sr)]
 
     # Host entropy decode scales across cores: the native unpack runs
     # without the GIL (ctypes foreign call), so a thread pool gives
@@ -497,53 +532,77 @@ def analyze_library(
             raise RuntimeError("No valid MP3 frames found")
         return u
 
-    paths = list(paths)
-    workers = min(len(paths), os.cpu_count() or 1, 16)
-    if workers > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            unpacked = list(pool.map(lambda p: _result_of(_unpack, p), paths))
-    else:
-        unpacked = [_result_of(_unpack, p) for p in paths]
+    dispatch = (
+        runner.dispatch_light if device_entropy else runner.dispatch_heavy
+    )
 
-    for i, (path, (u, err)) in enumerate(zip(paths, unpacked)):
-        if err is not None:
-            outcomes[i] = TrackOutcome(path=str(path), ok=False, error=err)
-            continue
-        sr, nch = u.sample_rate, u.n_channels
-        buckets.setdefault((sr, nch), []).append((i, u))
-        audio_seconds += (u.n // nch) * 576 / sr
-
-    album_hist_dev = None
-    for (sr, nch), members in buckets.items():
-        for start in range(0, len(members), runner.max_batch):
-            chunk = members[start : start + runner.max_batch]
-            idxs = [i for i, _ in chunk]
-            ups = [u for _, u in chunk]
-            analyze = (
-                runner.analyze_unpacked_light
-                if device_entropy
-                else runner.analyze_unpacked
+    def collect_one():
+        handle, idxs, sr = inflight.pop(0)
+        hist_dev, louds, peaks = runner.collect(handle)
+        if album:
+            batch_sum = jnp.sum(hist_dev, axis=0)
+            album_state["hist"] = (
+                batch_sum if album_state["hist"] is None
+                else album_state["hist"] + batch_sum
             )
-            hist_dev, louds, peaks = analyze(ups, sr, nch)
-            if album:
-                batch_sum = jnp.sum(hist_dev, axis=0)
-                album_hist_dev = (
-                    batch_sum if album_hist_dev is None else album_hist_dev + batch_sum
+        done = []
+        for j, i in enumerate(idxs):
+            loud = float(louds[j])
+            outcomes[i] = TrackOutcome(
+                path=str(paths[i]),
+                ok=True,
+                result=ReplayGainResult(
+                    loudness_db=loud,
+                    gain_db=PINK_REF - loud,
+                    peak=float(peaks[j]),
+                    sample_rate=sr,
+                    file_type="mp3",
+                ),
+                histogram=hist_dev[j],
+            )
+            done.append(outcomes[i])
+        if batch_cb:
+            batch_cb(done)
+
+    def flush_bucket(key, members):
+        sr, nch = key
+        idxs = [i for i, _ in members]
+        ups = [u for _, u in members]
+        # One batch behind: collect the previous dispatch only after
+        # enqueuing this one, so the chip never idles on host packing.
+        inflight.append((dispatch(ups, sr, nch), idxs, sr))
+        while len(inflight) > 1:
+            collect_one()
+
+    paths = list(paths)
+    workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)
+    for wstart in range(0, len(paths), wave_size):
+        wave = paths[wstart : wstart + wave_size]
+        if workers > 1 and len(wave) > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                unpacked = list(
+                    pool.map(lambda p: _result_of(_unpack, p), wave)
                 )
-            for j, i in enumerate(idxs):
-                loud = float(louds[j])
-                outcomes[i] = TrackOutcome(
-                    path=str(paths[i]),
-                    ok=True,
-                    result=ReplayGainResult(
-                        loudness_db=loud,
-                        gain_db=PINK_REF - loud,
-                        peak=float(peaks[j]),
-                        sample_rate=sr,
-                        file_type="mp3",
-                    ),
-                    histogram=hist_dev[j],
-                )
+        else:
+            unpacked = [_result_of(_unpack, p) for p in wave]
+
+        for i, (path, (u, err)) in enumerate(zip(wave, unpacked), wstart):
+            if err is not None:
+                outcomes[i] = TrackOutcome(path=str(path), ok=False, error=err)
+                continue
+            sr, nch = u.sample_rate, u.n_channels
+            members = buckets.setdefault((sr, nch), [])
+            members.append((i, u))
+            audio_seconds += (u.n // nch) * 576 / sr
+            if len(members) >= runner.max_batch:
+                flush_bucket((sr, nch), members)
+                buckets[(sr, nch)] = []
+
+    for key, members in buckets.items():
+        if members:
+            flush_bucket(key, members)
+    while inflight:
+        collect_one()
 
     tracks = [outcomes[i] for i in range(len(paths))]
     result = BatchResult(
@@ -552,8 +611,8 @@ def analyze_library(
         wall_seconds=time.monotonic() - t0,
     )
 
-    if album and album_hist_dev is not None:
+    if album and album_state["hist"] is not None:
         ok = [t for t in tracks if t.ok]
-        result.album_histogram = np.asarray(album_hist_dev)
+        result.album_histogram = np.asarray(album_state["hist"])
         result.album_peak = max(t.result.peak for t in ok)
     return result

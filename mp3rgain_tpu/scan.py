@@ -127,14 +127,23 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
 
     if todo_mp3:
         runner = parallel_runner.MeshRunner()
-        batch = parallel_runner.analyze_library(todo_mp3, runner=runner)
+
+        # Checkpoint after every collected device batch so a killed scan
+        # resumes from the last batch, not from zero.
+        def _checkpoint(done_tracks):
+            for track in done_tracks:
+                hist = np.asarray(track.histogram)
+                manifest.store(track.path, track.result, hist)
+            manifest.save()
+
+        batch = parallel_runner.analyze_library(
+            todo_mp3, runner=runner, batch_cb=_checkpoint
+        )
         out.audio_seconds += batch.audio_seconds
         for track in batch.tracks:
             if track.ok:
                 out.results[track.path] = track.result
-                hist = np.asarray(track.histogram)
-                out.histograms[track.path] = hist
-                manifest.store(track.path, track.result, hist)
+                out.histograms[track.path] = np.asarray(track.histogram)
             else:
                 out.results[track.path] = RuntimeError(track.error)
             if progress_cb:

@@ -69,6 +69,41 @@ def test_fault_isolation(album_dir, tmp_path):
     assert res.tracks[3].error
 
 
+def test_waves_and_overlap_match_single_pass(album_dir, tmp_path):
+    """Tiny waves + tiny batches (forcing carry-over partial buckets,
+    multi-bucket interleave, and the one-batch-behind overlap) must
+    produce identical results to the plain run, and batch_cb must see
+    every ok track exactly once."""
+    # Two formats interleaved + one corrupt file mid-stream.
+    from mp3rgain_tpu.testing import fixtures
+
+    src = fixtures.generate_standard_fixtures(tmp_path / "src")
+    extra = tmp_path / "mono.mp3"
+    shutil.copy(src / "test_mono.mp3", extra)
+    bad = tmp_path / "corrupt.mp3"
+    bad.write_bytes(b"\xff\x00" * 300)
+    paths = list(album_dir[:5]) + [bad, extra] + list(album_dir[5:9])
+
+    base = analyze_library(paths, album=True)
+
+    seen = []
+    runner = MeshRunner(max_batch=2)
+    waved = analyze_library(
+        paths, runner=runner, album=True, wave_size=3,
+        batch_cb=lambda done: seen.extend(t.path for t in done),
+    )
+    assert [t.ok for t in base.tracks] == [t.ok for t in waved.tracks]
+    for b, w in zip(base.tracks, waved.tracks):
+        if not b.ok:
+            continue
+        assert b.result.gain_db == w.result.gain_db
+        assert b.result.peak == w.result.peak
+        assert np.array_equal(np.asarray(b.histogram), np.asarray(w.histogram))
+    assert sorted(seen) == sorted(str(t.path) for t in base.tracks if t.ok)
+    assert np.array_equal(base.album_histogram, waved.album_histogram)
+    assert base.album_peak == waved.album_peak
+
+
 def test_explicit_psum_album_reduce(album_dir):
     runner = MeshRunner()
     res = analyze_library(album_dir[:8], runner=runner, album=True)
