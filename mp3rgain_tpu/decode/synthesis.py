@@ -21,7 +21,7 @@ the polyphase dewindowing is a 16-tap feature conv.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -244,78 +244,105 @@ _CS = (1.0 / np.sqrt(1.0 + _CI**2)).astype(np.float64)
 _CA = (_CI / np.sqrt(1.0 + _CI**2)).astype(np.float64)
 
 
+@lru_cache(maxsize=None)
+def _alias_matrices():
+    """Alias reduction as (576, 576) linear maps: identity plus, at each
+    subband boundary sb, 8 butterflies pairing line 18*sb+17-i with
+    18*sb+18+i (ISO 11172-3 2.4.3.4.10.1). A_long applies all 31
+    boundaries; A_mixed boundary 0 only."""
+    a_long = np.eye(576, dtype=np.float64)
+    a_mixed = np.eye(576, dtype=np.float64)
+    for sb in range(31):
+        targets = (a_long, a_mixed) if sb == 0 else (a_long,)
+        for i in range(8):
+            a = 18 * sb + 17 - i
+            b2 = 18 * sb + 18 + i
+            for mat in targets:
+                mat[a, a] = _CS[i]
+                mat[b2, a] = -_CA[i]
+                mat[b2, b2] = _CS[i]
+                mat[a, b2] = _CA[i]
+    return a_long, a_mixed
+
+
 def _alias(b: GranuleBatch, xr, masks, dtype):
-    """Alias-reduction butterflies via pure slicing (no gathers).
+    """Alias-reduction butterflies as masked (G, 576) x (576, 576) GEMMs.
 
-    For each long-subband boundary: 8 butterflies between the last 8 lines
-    of subband sb-1 (reversed) and the first 8 of subband sb. Applied to
-    all 31 boundaries for long-class granules, boundary 0 only for mixed,
-    none for short."""
-    g = xr.shape[0]
-    x = xr.reshape(g, 32, 18)
-    cs = jnp.asarray(_CS, dtype)
-    ca = jnp.asarray(_CA, dtype)
+    The map is linear per granule (2x2 rotations on disjoint line pairs,
+    identity elsewhere), so one MXU pass applies all 31 boundaries. The
+    earlier sliced formulation built (G, 31, 8)-shaped temporaries whose
+    8-wide minor dim pads 16x under (8, 128) tiling — XLA materialized
+    one at 5.85 GB for a 363 MB tensor on long-track batches (HBM OOM),
+    and re-laying it out by hand just moved the padding. 2-D GEMM
+    operands are the TPU-native form. HIGHEST precision keeps the two
+    nonzero products per output line at f32 exactness (the zeros in the
+    row contribute exact zeros)."""
+    from jax import lax as _lax
 
-    hi = jnp.flip(x[:, :31, 10:18], axis=-1)  # lines 17..10 of sb
-    lo = x[:, 1:, 0:8]  # lines 0..7 of sb+1
-    new_hi = cs * hi - ca * lo
-    new_lo = cs * lo + ca * hi
-
-    # Per-boundary activation mask: long -> all, mixed -> first only, short -> none.
-    n_bound = jnp.where(
-        masks[0][:, :1], 31, jnp.where(masks[2][:, :1], 1, 0)
-    )  # (G, 1)
-    bmask = (jnp.arange(31)[None, :] < n_bound)[..., None]  # (G, 31, 1)
-
-    hi_eff = jnp.where(bmask, new_hi, hi)
-    lo_eff = jnp.where(bmask, new_lo, lo)
-    x = x.at[:, :31, 10:18].set(jnp.flip(hi_eff, axis=-1))
-    x = x.at[:, 1:, 0:8].set(lo_eff)
-    return x.reshape(g, 576)
+    a_long, a_mixed = _alias_matrices()
+    al = jnp.asarray(a_long, dtype)
+    am = jnp.asarray(a_mixed, dtype)
+    y_long = jnp.dot(xr, al, precision=_lax.Precision.HIGHEST)
+    y_mixed = jnp.dot(xr, am, precision=_lax.Precision.HIGHEST)
+    return jnp.where(
+        masks[0], y_long, jnp.where(masks[2], y_mixed, xr)
+    ).astype(dtype)
 
 
 def _imdct_overlap(b: GranuleBatch, xr, dtype):
-    """(G, 576) → (T, nch, 32, 18) hybrid outputs with overlap carry.
+    """(G, 576) → (T, nch, 576) windowed hybrid outputs with overlap carry.
 
-    IMDCT+window as four GEMMs (one per block type) selected by mask;
-    overlap-add across granule time is a pure shift."""
+    IMDCT+window as four GEMM pairs (one per block type), with the 36-line
+    window split into its head (lines 0..17, this granule's output) and
+    tail (18..35, carried into the next granule), so every intermediate is
+    (G, 576)-shaped: a (G, 32, 36) buffer's 36-wide minor dim pads 3.6x
+    under (8, 128) tiling and XLA materialized one at 5.85 GB on
+    long-track batches (HBM OOM). The overlap-add across granule time is
+    then a pure one-granule shift of the tail tensor."""
     t_tabs = build_tables()
     g = xr.shape[0]
     x2 = xr.reshape(g * 32, 18)
+    col = jnp.arange(576)
+    col_sb = col // 18  # column -> subband
 
-    z = None
+    head = None
+    tail = None
     bt_g = jnp.where(b.kind == 4, 2, b.block_type)  # mixed uses short matrices
     for bt in range(4):
         m = jnp.asarray(t_tabs.imdct[bt], dtype)  # (36, 18)
-        z_bt = jnp.dot(x2, m.T, preferred_element_type=dtype).reshape(g, 32, 36)
+        zh = jnp.dot(x2, m[:18].T, preferred_element_type=dtype).reshape(g, 576)
+        zt = jnp.dot(x2, m[18:].T, preferred_element_type=dtype).reshape(g, 576)
         if bt == 0:
             # Mixed blocks: subbands 0-1 use the long window.
-            sb_long = (jnp.arange(32) < 2)[None, :, None]
-            mixed_mask = (b.kind == 4)[:, None, None] & sb_long
-            z = jnp.where((bt_g == 0)[:, None, None] | mixed_mask, z_bt, 0.0)
+            sel = (bt_g == 0)[:, None] | (
+                (b.kind == 4)[:, None] & (col_sb < 2)[None, :]
+            )
+            head = jnp.where(sel, zh, 0.0)
+            tail = jnp.where(sel, zt, 0.0)
         else:
-            sel = (bt_g == bt)[:, None, None]
+            sel = (bt_g == bt)[:, None]
             if bt == 2:
-                sb_short = (jnp.arange(32) >= 2)[None, :, None]
                 sel = sel & (
-                    (b.kind != 4)[:, None, None] | sb_short
+                    (b.kind != 4)[:, None] | (col_sb >= 2)[None, :]
                 )
-            z = z + jnp.where(sel, z_bt, 0.0)
+            head = head + jnp.where(sel, zh, 0.0)
+            tail = tail + jnp.where(sel, zt, 0.0)
 
     # Overlap-add with the previous granule of the same channel.
     nch = b.n_channels
     t = g // nch
-    z = z.reshape(t, nch, 32, 36)
+    head = head.reshape(t, nch, 576)
+    tail = tail.reshape(t, nch, 576)
     prev_tail = jnp.concatenate(
-        [jnp.zeros_like(z[:1, ..., 18:]), z[:-1, ..., 18:]], axis=0
+        [jnp.zeros_like(tail[:1]), tail[:-1]], axis=0
     )
-    out = z[..., :18] + prev_tail  # (T, nch, 32, 18)
+    out = head + prev_tail  # (T, nch, 576)
 
-    # Frequency inversion: odd subbands, odd samples.
-    sb_odd = (jnp.arange(32) % 2 == 1)[:, None]
-    i_odd = (jnp.arange(18) % 2 == 1)[None, :]
-    sign = jnp.where(sb_odd & i_odd, -1.0, 1.0).astype(dtype)
-    return out * sign
+    # Frequency inversion: odd subbands, odd samples — a column pattern.
+    sign = jnp.where(
+        (col_sb % 2 == 1) & ((col % 18) % 2 == 1), -1.0, 1.0
+    ).astype(dtype)
+    return out * sign[None, None, :]
 
 
 def _synth_kernel(dtype) -> np.ndarray:
@@ -331,11 +358,15 @@ def _synth_kernel(dtype) -> np.ndarray:
 
 
 def _synthesis(out18, dtype):
-    """(T, nch, 32, 18) hybrid outputs → (nch, T*576) PCM via one matmul
+    """(T, nch, 576) hybrid outputs → (nch, T*576) PCM via one matmul
     (the DCT matrixing) and one 16-tap feature convolution (dewindowing)."""
     tbs = build_tables()
     t, nch = out18.shape[0], out18.shape[1]
-    s = out18.transpose(1, 0, 3, 2).reshape(nch, t * 18, 32)  # (C, TS, 32)
+    s = (
+        out18.reshape(t, nch, 32, 18)
+        .transpose(1, 0, 3, 2)
+        .reshape(nch, t * 18, 32)
+    )  # (C, TS, 32)
     n = jnp.asarray(tbs.synth_n, dtype)  # (64, 32)
     v = jnp.einsum("cts,vs->ctv", s, n, preferred_element_type=dtype)  # (C, TS, 64)
 

@@ -51,8 +51,9 @@ def build_corpus(root: str, n_tracks: int, seed: int = 11):
         if ch == 2:
             pcm = np.stack([pcm, np.roll(pcm, 7)], axis=1)
         p = os.path.join(root, f"track_{i:04d}_{sr}_{ch}ch.mp3")
-        with open(p, "wb") as f:
-            f.write(fixtures.encode_mp3(pcm, sr, bitrate=kbps, mode=mode))
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(fixtures.encode_mp3(pcm, sr, bitrate=kbps, mode=mode))
         paths.append(p)
         audio_total += seconds
     # Corrupt files: must be isolated, not poison the scan.
