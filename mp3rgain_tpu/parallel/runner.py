@@ -20,7 +20,7 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -228,6 +228,23 @@ def prepare_batch_arrays(
     return (spec_i8, esc_idx, esc_val, scf, info, valid_samples)
 
 
+_B_LADDER = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _quantize_up(value: int, unit: int, base: int, ratio: float) -> int:
+    """Smallest ladder step >= value (geometric, unit-aligned).
+
+    Shape quantization keeps the compiled-executable population small: a
+    mixed-length library otherwise compiles a fresh pipeline for nearly
+    every batch (measured 400+ s of remote compiles per 120-track scan).
+    Padding costs <= `ratio` extra device work on the worst batch."""
+    v = base
+    while v < value:
+        v = int(v * ratio)
+        v = -(-v // unit) * unit
+    return max(v, -(-value // unit) * unit)
+
+
 def prepare_batch_arrays_light(
     unpacked: list[fe.UnpackedMp3Light], n_channels: int,
     pad_batch_to: int = 1,
@@ -243,8 +260,9 @@ def prepare_batch_arrays_light(
     bsz = len(unpacked)
     g_max = max(u.n for u in unpacked)
     unit = 2 * n_channels
-    g_max = -(-g_max // unit) * unit
-    bpad = -(-bsz // pad_batch_to) * pad_batch_to
+    g_max = _quantize_up(g_max, unit, base=512, ratio=1.3)
+    bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
+    bpad = -(-bpad // pad_batch_to) * pad_batch_to
 
     prep = ek.prepare_batch(
         [u.md for u in unpacked], [u.meta for u in unpacked],
@@ -294,6 +312,31 @@ class BatchResult:
         return self.audio_seconds / max(self.wall_seconds, 1e-9)
 
 
+@lru_cache(maxsize=None)
+def _single_device_pipeline(n_channels: int, sample_rate: int, dtype):
+    """Module-level cache: compiled pipelines must outlive any one
+    MeshRunner (scan_files builds a fresh runner per call; per-instance
+    caches made every scan recompile — measured 400+ s per 120-track
+    scan on the remote compiler)."""
+    core = partial(
+        _analysis_core,
+        n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+    )
+    return jax.jit(core)
+
+
+@lru_cache(maxsize=None)
+def _light_pipeline(n_channels: int, sample_rate: int, w8_cap: int,
+                    nb: int, dtype, interpret: bool):
+    core = partial(
+        _analysis_core_light,
+        w8_cap=w8_cap, nb=nb,
+        n_channels=n_channels, sample_rate=sample_rate,
+        dtype=dtype, interpret=interpret,
+    )
+    return jax.jit(core)
+
+
 class MeshRunner:
     """Batched analysis over a 1-D data-parallel device mesh."""
 
@@ -321,8 +364,9 @@ class MeshRunner:
         )
         if self.n_devices == 1:
             # Plain jit on a single device: shard_map adds a multi-second
-            # per-call overhead on tunneled single-chip runtimes.
-            run = jax.jit(core)
+            # per-call overhead on tunneled single-chip runtimes. Cached
+            # at module level so compiles survive runner churn.
+            run = _single_device_pipeline(n_channels, sample_rate, self.dtype)
         else:
             spec_b = P("dp")
 
@@ -345,18 +389,9 @@ class MeshRunner:
         the Pallas grid already spans the whole batch; data parallelism
         over a mesh keeps the host-decoded path (analyze_unpacked)."""
         interpret = jax.default_backend() != "tpu"
-        key = ("light", n_channels, sample_rate, w8_cap, nb, interpret)
-        if key in self._jitted:
-            return self._jitted[key]
-        core = partial(
-            _analysis_core_light,
-            w8_cap=w8_cap, nb=nb,
-            n_channels=n_channels, sample_rate=sample_rate,
-            dtype=self.dtype, interpret=interpret,
+        return _light_pipeline(
+            n_channels, sample_rate, w8_cap, nb, self.dtype, interpret
         )
-        run = jax.jit(core)
-        self._jitted[key] = run
-        return run
 
     def dispatch_light(
         self, unpacked: list[fe.UnpackedMp3Light], sample_rate: int,

@@ -129,10 +129,18 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
         runner = parallel_runner.MeshRunner()
 
         # Checkpoint after every collected device batch so a killed scan
-        # resumes from the last batch, not from zero.
+        # resumes from the last batch, not from zero. Histograms come
+        # back in ONE stacked d2h transfer (per-track reads cost a slow
+        # tunnel round trip each) and are cached back onto the outcome
+        # so nothing reads them from device twice.
         def _checkpoint(done_tracks):
-            for track in done_tracks:
-                hist = np.asarray(track.histogram)
+            import jax.numpy as jnp
+
+            hists = np.asarray(
+                jnp.stack([t.histogram for t in done_tracks])
+            )
+            for track, hist in zip(done_tracks, hists):
+                track.histogram = hist
                 manifest.store(track.path, track.result, hist)
             manifest.save()
 
