@@ -299,9 +299,8 @@ def _imdct_overlap(b: GranuleBatch, xr, dtype):
     under (8, 128) tiling and XLA materialized one at 5.85 GB on
     long-track batches (HBM OOM). The overlap-add across granule time is
     then a pure one-granule shift of the tail tensor."""
-    t_tabs = build_tables()
     g = xr.shape[0]
-    x2 = xr.reshape(g * 32, 18)
+    heads, tails = _imdct_blockdiag()
     col = jnp.arange(576)
     col_sb = col // 18  # column -> subband
 
@@ -309,9 +308,14 @@ def _imdct_overlap(b: GranuleBatch, xr, dtype):
     tail = None
     bt_g = jnp.where(b.kind == 4, 2, b.block_type)  # mixed uses short matrices
     for bt in range(4):
-        m = jnp.asarray(t_tabs.imdct[bt], dtype)  # (36, 18)
-        zh = jnp.dot(x2, m[:18].T, preferred_element_type=dtype).reshape(g, 576)
-        zt = jnp.dot(x2, m[18:].T, preferred_element_type=dtype).reshape(g, 576)
+        # Block-diagonal (576, 576) forms: a (G*32, 18) reshape of the
+        # input is exactly the kind of 18-wide-minor tensor XLA's remat
+        # materialized at 7x padding (HBM OOM); (G, 576) GEMM operands
+        # have no paddable dimension.
+        zh = jnp.dot(xr, jnp.asarray(heads[bt], dtype),
+                     preferred_element_type=dtype)
+        zt = jnp.dot(xr, jnp.asarray(tails[bt], dtype),
+                     preferred_element_type=dtype)
         if bt == 0:
             # Mixed blocks: subbands 0-1 use the long window.
             sel = (bt_g == 0)[:, None] | (
@@ -345,7 +349,7 @@ def _imdct_overlap(b: GranuleBatch, xr, dtype):
     return out * sign[None, None, :]
 
 
-def _synth_kernel(dtype) -> np.ndarray:
+def _synth_kernel() -> np.ndarray:
     """Combined synthesis kernel W (16 taps, 64 in, 32 out):
     PCM_t[j] = sum_k sum_u V[t-k, u] * W[k, u, j]."""
     t = build_tables()
@@ -357,32 +361,73 @@ def _synth_kernel(dtype) -> np.ndarray:
     return w
 
 
-def _synthesis(out18, dtype):
-    """(T, nch, 576) hybrid outputs → (nch, T*576) PCM via one matmul
-    (the DCT matrixing) and one 16-tap feature convolution (dewindowing)."""
-    tbs = build_tables()
-    t, nch = out18.shape[0], out18.shape[1]
-    s = (
-        out18.reshape(t, nch, 32, 18)
-        .transpose(1, 0, 3, 2)
-        .reshape(nch, t * 18, 32)
-    )  # (C, TS, 32)
-    n = jnp.asarray(tbs.synth_n, dtype)  # (64, 32)
-    v = jnp.einsum("cts,vs->ctv", s, n, preferred_element_type=dtype)  # (C, TS, 64)
+@lru_cache(maxsize=None)
+def _imdct_blockdiag():
+    """Per-block-type IMDCT+window as block-diagonal (576, 576) maps,
+    split into window head (output lines 0..17) and tail (18..35)."""
+    t_tabs = build_tables()
+    heads = []
+    tails = []
+    for bt in range(4):
+        m = t_tabs.imdct[bt]  # (36, 18): [out line w, input line mm]
+        bdh = np.zeros((576, 576))
+        bdt = np.zeros((576, 576))
+        for sb in range(32):
+            sl = slice(18 * sb, 18 * sb + 18)
+            bdh[sl, sl] = m[:18].T  # [mm, w]
+            bdt[sl, sl] = m[18:].T
+        heads.append(bdh)
+        tails.append(bdt)
+    return np.stack(heads), np.stack(tails)
 
-    w = jnp.asarray(_synth_kernel(dtype), dtype)  # (16, 64, 32)
-    # conv over time: lhs (C, 64, TS), rhs (32 out, 64 in, 16 taps);
-    # causal padding of 15 on the left. rhs spatial order: tap k multiplies
-    # V[t-k], i.e. the kernel is reversed relative to cross-correlation.
-    lhs = v.transpose(0, 2, 1)
-    rhs = jnp.flip(w, axis=0).transpose(2, 1, 0)  # (32, 64, 16)
-    pcm = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding=[(15, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=dtype,
-    )  # (C, 32, TS)
-    ts = v.shape[1]
-    return pcm.transpose(0, 2, 1).reshape(nch, ts * 32)
+
+@lru_cache(maxsize=None)
+def _tail_matrices():
+    """Polyphase synthesis as three GEMM constants over 576/1152 columns.
+
+    V-row layout per granule-time t: column 64*i + u = V value u of slot
+    ts = 18*t + i. N18 does the DCT matrixing from hybrid columns
+    (18*sb + i); A/B do the 16-tap dewindowing — a tap reaches at most
+    17 slots back, so PCM_t = V_t @ A + V_{t-1} @ B exactly (the old
+    conv's 15-zero causal padding = the all-zero V_{-1})."""
+    tbs = build_tables()
+    n = tbs.synth_n  # (64, 32)
+    n18 = np.zeros((576, 1152))
+    for sb in range(32):
+        for i in range(18):
+            n18[18 * sb + i, 64 * i : 64 * i + 64] = n[:, sb]
+
+    w = _synth_kernel()  # (16, 64, 32)
+    a = np.zeros((1152, 576))
+    b = np.zeros((1152, 576))
+    for i in range(18):
+        for ip in range(18):
+            k = ip - i
+            if 0 <= k <= 15:
+                a[64 * i : 64 * i + 64, 32 * ip : 32 * ip + 32] = w[k]
+            k2 = 18 + ip - i
+            if 0 <= k2 <= 15:
+                b[64 * i : 64 * i + 64, 32 * ip : 32 * ip + 32] = w[k2]
+    return n18, a, b
+
+
+def _synthesis(out18, dtype):
+    """(T, nch, 576) hybrid outputs → (nch, T*576) PCM, all GEMMs.
+
+    Every tensor keeps a 576/1152-wide minor dim: the earlier
+    einsum+conv formulation pivoted through (C, T*18, 32)/(C, 64, TS)
+    layouts whose narrow minor dims XLA could materialize at up to 7x
+    tiling padding (HBM OOM on some batch shapes)."""
+    n18, a, b = _tail_matrices()
+    t, nch = out18.shape[0], out18.shape[1]
+    v3 = jnp.dot(out18, jnp.asarray(n18, dtype),
+                 preferred_element_type=dtype)  # (T, nch, 1152)
+    prev = jnp.concatenate([jnp.zeros_like(v3[:1]), v3[:-1]], axis=0)
+    pcm = (
+        jnp.dot(v3, jnp.asarray(a, dtype), preferred_element_type=dtype)
+        + jnp.dot(prev, jnp.asarray(b, dtype), preferred_element_type=dtype)
+    )  # (T, nch, 576)
+    return pcm.transpose(1, 0, 2).reshape(nch, t * 576)
 
 
 @partial(jax.jit, static_argnames=("n_channels", "sr_row", "dtype"))

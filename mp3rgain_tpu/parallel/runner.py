@@ -183,10 +183,14 @@ def prepare_batch_arrays(
     _analysis_core (..., valid_samples)."""
     bsz = len(unpacked)
     g_max = max(u.n for u in unpacked)
-    # Pad G to a multiple of 2*n_channels so time reshapes stay valid.
+    # Pad G to a multiple of 2*n_channels so time reshapes stay valid,
+    # on the same shape ladder as the light path (keeps the compile
+    # population small AND the two paths bit-identical: equal padded
+    # shapes -> equal GEMM shapes -> equal rounding).
     unit = 2 * n_channels
-    g_max = -(-g_max // unit) * unit
-    bpad = -(-bsz // pad_batch_to) * pad_batch_to
+    g_max = _quantize_up(g_max, unit, base=512, ratio=1.3)
+    bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
+    bpad = -(-bpad // pad_batch_to) * pad_batch_to
 
     def pad_tracks(get, shape_tail, dtype=np.int32):
         out = np.zeros((bpad, g_max) + shape_tail, dtype=dtype)
