@@ -20,6 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .utils.jaxcache import ensure_compilation_cache
+
+ensure_compilation_cache()
+
 from . import mp4meta
 from .decode import frontend
 from .ops import histogram as hi

@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils.jaxcache import ensure_compilation_cache
+
+ensure_compilation_cache()
+
 from ..decode import frontend as fe
 from ..decode import synthesis
 from ..ops import histogram as hi
