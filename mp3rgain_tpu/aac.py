@@ -23,30 +23,92 @@ from .replaygain import PINK_REF, PeakAmplitudeResult, ReplayGainResult
 
 SAMPLE_SCALE_16BIT = 32768.0
 
+# AAC analysis clips decoded samples at ±1.0, matching the reference's
+# decoder (symphonia clips; the reference's AAC peaks and loudness are
+# computed from clipped PCM). This is the opposite of our MP3 contract
+# (true unclipped peak, mp3gain parity) because mp3gain never handled
+# AAC — the reference IS the AAC peer — and because AAC encoder priming
+# can decode to wild magnitudes with no container metadata to trim by
+# (ffmpeg-aac fixture: ±13,218 full-scale in samples 1024..4095, bit-
+# identical in libavcodec's own decode).
+AAC_CLIP = 1.0
+
 
 class AacError(RuntimeError):
     pass
 
 
 @lru_cache(maxsize=None)
-def _analysis_fn(n_channels: int, sample_rate: int, dtype):
-    @partial(jax.jit)
-    def run(spec, window_seq, window_shape, valid_samples):
-        pcm = aac_synthesis._decode_jit(
-            spec, window_seq, window_shape, n_channels=n_channels, dtype=dtype
-        )  # (C, N)
-        n = pcm.shape[1]
-        mask = (jnp.arange(n) < valid_samples)[None, :]
-        peak = jnp.max(jnp.abs(pcm) * mask)
-        x = pcm.astype(dtype) * dtype(SAMPLE_SCALE_16BIT)
-        filtered = iir.equal_loudness(x, sample_rate)
+def _batch_fn(n_channels: int, sample_rate: int, dtype):
+    """Batched AAC pipeline: vmapped decode + shared DSP tail.
+
+    Module-level cache + ladder-quantized shapes (prepare_batch_arrays_aac)
+    for the same reasons as the MP3 path: compiled executables must
+    survive caller churn, and per-track lengths must not each compile."""
+
+    def core(spec, window_seq, window_shape, valid_samples):
+        def one(args):
+            return aac_synthesis._decode_jit(
+                *args, n_channels=n_channels, dtype=dtype
+            )
+
+        pcm = jax.vmap(one)((spec, window_seq, window_shape))  # (B, C, N)
+        pcm = jnp.clip(pcm, -AAC_CLIP, AAC_CLIP)
+        bsz, c, n = pcm.shape
+        mask = (jnp.arange(n)[None, None, :] < valid_samples[:, None, None])
+        peak = jnp.max(jnp.abs(pcm) * mask, axis=(1, 2))  # (B,)
+        x = pcm.reshape(bsz * c, n).astype(dtype) * dtype(SAMPLE_SCALE_16BIT)
+        filtered = iir.equal_loudness(x, sample_rate).reshape(bsz, c, n)
         hist = hi._histogram_jit(
-            filtered[None], valid_samples[None], hi.window_size(sample_rate)
+            filtered, valid_samples, hi.window_size(sample_rate)
         )
         loud_idx = hi.loudness_index_device(hist)
-        return hist[0], loud_idx[0], peak
+        return hist, loud_idx, peak
 
-    return run
+    return jax.jit(core)
+
+
+def prepare_batch_arrays_aac(unpacked: list, n_channels: int):
+    """Pad AAC tracks to ladder-quantized (B, F) shapes for _batch_fn.
+
+    Zero-spectrum padding frames decode to zero PCM; everything past a
+    track's valid_samples is masked out of peak and histogram."""
+    from .parallel.runner import _B_LADDER, _quantize_up
+
+    bsz = len(unpacked)
+    f_max = max((u.n // n_channels) * n_channels for u in unpacked)
+    f_max = _quantize_up(max(f_max, n_channels), n_channels, base=128,
+                         ratio=1.3)
+    bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
+    spec = np.zeros((bpad, f_max, 1024), np.float32)
+    wseq = np.zeros((bpad, f_max), np.int32)
+    wshape = np.zeros((bpad, f_max), np.int32)
+    valid = np.zeros(bpad, np.int32)
+    for i, u in enumerate(unpacked):
+        n = (u.n // n_channels) * n_channels
+        spec[i, :n] = u.spec[:n]
+        wseq[i, :n] = u.info[:n, af.WINDOW_SEQ]
+        wshape[i, :n] = u.info[:n, af.WINDOW_SHAPE]
+        valid[i] = (n // n_channels) * 1024
+    return spec, wseq, wshape, valid
+
+
+def analyze_batch(unpacked: list, sample_rate: int, n_channels: int,
+                  dtype=jnp.float32):
+    """Analyze same-format AAC tracks in one device dispatch.
+
+    Returns (hist (B, 12000) device, louds (B,) np, peaks (B,) np)."""
+    bsz = len(unpacked)
+    args = prepare_batch_arrays_aac(unpacked, n_channels)
+    fn = _batch_fn(n_channels, sample_rate, dtype)
+    hist, loud_idx, peak = fn(*(jnp.asarray(a) for a in args))
+    stats = np.asarray(
+        jnp.concatenate(
+            [loud_idx[:bsz].astype(jnp.float32), peak[:bsz].astype(jnp.float32)]
+        )
+    )
+    louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
+    return hist[:bsz], louds, stats[bsz:]
 
 
 def _analyze_on_device(path, dtype, track_index=None):
@@ -55,20 +117,10 @@ def _analyze_on_device(path, dtype, track_index=None):
         raise AacError("No decodable AAC frames found")
     nch = u.n_channels or 1
     sr = u.sample_rate
+    hist, louds, peaks = analyze_batch([u], sr, nch, dtype=dtype)
     n = (u.n // nch) * nch
-    valid = np.int32((n // nch) * 1024)
-    fn = _analysis_fn(nch, sr, dtype)
-    hist, loud_idx, peak = fn(
-        jnp.asarray(u.spec[:n]),
-        jnp.asarray(u.info[:n, af.WINDOW_SEQ]),
-        jnp.asarray(u.info[:n, af.WINDOW_SHAPE]),
-        jnp.asarray(valid),
-    )
-    stats = np.asarray(
-        jnp.stack([loud_idx.astype(jnp.float32), peak.astype(jnp.float32)])
-    )
-    audio_seconds = float(valid) / sr if sr else 0.0
-    return hist, hi.index_to_loudness(stats[0]), float(stats[1]), sr, audio_seconds
+    audio_seconds = (n // nch) * 1024 / sr if sr else 0.0
+    return hist[0], float(louds[0]), float(peaks[0]), sr, audio_seconds
 
 
 def analyze_track_internal(path, dtype=jnp.float32, track_index=None):

@@ -157,26 +157,70 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
             if progress_cb:
                 progress_cb(track.path)
 
-    for p in todo_aac:
-        try:
-            from . import aac
-
-            internal = aac.analyze_track_internal(p)
-            out.results[str(p)] = internal.result
-            hist = np.asarray(internal.histogram)
-            out.histograms[str(p)] = hist
-            manifest.store(str(p), internal.result, hist)
-            # Duration from decoded sample counts (histograms drop silence
-            # windows, so hist.sum()*0.05 undercounts quiet tracks).
-            out.audio_seconds += internal.audio_seconds
-        except Exception as e:
-            out.results[str(p)] = e
-        if progress_cb:
-            progress_cb(str(p))
+    if todo_aac:
+        _scan_aac(todo_aac, out, manifest, progress_cb)
 
     manifest.save()
     out.wall_seconds = time.monotonic() - t0
     return out
+
+
+def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
+    """Bucketed batch analysis for AAC files (mirrors the MP3 path:
+    per-file unpack isolation, (sr, nch) buckets, one device dispatch
+    per batch, checkpoint after each batch)."""
+    from . import aac
+    from .decode import aac_frontend as af
+
+    buckets: dict[tuple[int, int], list] = {}
+    for p in paths:
+        try:
+            u = af.unpack_file(p)
+            if u.n == 0:
+                raise aac.AacError("No decodable AAC frames found")
+        except Exception as e:
+            out.results[str(p)] = e
+            if progress_cb:
+                progress_cb(str(p))
+            continue
+        nch = u.n_channels or 1
+        buckets.setdefault((u.sample_rate, nch), []).append((p, u))
+
+    for (sr, nch), members in buckets.items():
+        for start in range(0, len(members), BATCH_THRESHOLD * 4):
+            chunk = members[start : start + BATCH_THRESHOLD * 4]
+            try:
+                hists, louds, peaks = aac.analyze_batch(
+                    [u for _, u in chunk], sr, nch
+                )
+                hists = np.asarray(hists)
+            except Exception as e:
+                for p, _ in chunk:
+                    out.results[str(p)] = e
+                    if progress_cb:
+                        progress_cb(str(p))
+                continue
+            for j, (p, u) in enumerate(chunk):
+                loud = float(louds[j])
+                res = ReplayGainResult(
+                    loudness_db=loud,
+                    gain_db=PINK_REF - loud,
+                    peak=float(peaks[j]),
+                    sample_rate=sr,
+                    file_type="aac",
+                )
+                hist = hists[j]
+                out.results[str(p)] = res
+                out.histograms[str(p)] = hist
+                manifest.store(str(p), res, hist)
+                # Duration from decoded sample counts (histograms drop
+                # silence windows, so hist.sum()*0.05 undercounts quiet
+                # tracks).
+                n = (u.n // nch) * nch
+                out.audio_seconds += (n // nch) * 1024 / sr if sr else 0.0
+                if progress_cb:
+                    progress_cb(str(p))
+            manifest.save()
 
 
 def album_union(scan: ScanResult, paths) -> tuple[float, float, float]:

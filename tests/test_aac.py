@@ -76,11 +76,15 @@ def test_m4a_end_to_end(tmp_path):
     assert res.file_type == "aac"
     assert res.sample_rate == 44100
 
-    # Oracle gain from the same encoded bits.
+    # Oracle gain from the same encoded bits. AAC analysis clips decoded
+    # samples at ±1.0 (reference/symphonia parity): ffmpeg-aac encoder
+    # priming decodes to ±13,218 full scale in the first frames (same in
+    # libavcodec's own output), so unclipped peaks would be garbage.
     adts = af.mp4_to_adts(p.read_bytes())
-    ref = avcodec.decode_adts(adts)[0].T
+    ref = np.clip(avcodec.decode_adts(adts)[0].T, -1.0, 1.0)
     assert abs(res.gain_db - _gain_of(ref, 44100)) <= 0.05
     assert res.peak == pytest.approx(np.abs(ref).max(), rel=0.1)
+    assert res.peak <= 1.0
 
 
 def test_m4a_tags_and_reanalysis(tmp_path):
@@ -165,3 +169,39 @@ def test_adts_transient_short_windows_match_oracle():
     clean = ~pns_or_next
     assert clean.sum() > 0
     assert err[clean].max() < 1e-4, err[clean].max()
+
+
+def test_aac_batch_matches_sequential(tmp_path):
+    """Batched AAC analysis (ladder-padded, vmapped) must match the
+    per-file path exactly, mixed lengths included."""
+    import numpy as np
+
+    from mp3rgain_tpu import aac, scan
+    from mp3rgain_tpu.decode import aac_frontend as af
+
+    paths = []
+    for i, secs in enumerate((0.6, 1.1, 1.9)):
+        p = tmp_path / f"b{i}.m4a"
+        p.write_bytes(fixtures.encode_m4a(_test_pcm(seconds=secs, seed=i), 44100))
+        paths.append(p)
+
+    seq = [aac.analyze_track_internal(p) for p in paths]
+    ups = [af.unpack_file(p) for p in paths]
+    hists, louds, peaks = aac.analyze_batch(ups, 44100, 2)
+    for j, s in enumerate(seq):
+        assert float(louds[j]) == s.result.loudness_db
+        assert float(peaks[j]) == s.result.peak
+        np.testing.assert_array_equal(
+            np.asarray(hists[j]), np.asarray(s.histogram)
+        )
+
+    # The scan path batches too, with a corrupt file isolated.
+    bad = tmp_path / "bad.m4a"
+    bad.write_bytes(b"\x00ftypM4A " + b"\x00" * 64)
+    res = scan.scan_files(paths + [bad])
+    for p, s in zip(paths, seq):
+        got = res.results[str(p)]
+        assert got.gain_db == s.result.gain_db
+        assert got.peak == s.result.peak
+    assert isinstance(res.results[str(bad)], Exception)
+    assert res.audio_seconds > 3.0
