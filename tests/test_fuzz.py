@@ -15,6 +15,31 @@ from mp3rgain_tpu import mp4meta, native
 from mp3rgain_tpu.decode import aac_frontend, frontend
 
 
+def _check_light(mutated: bytes, full=None):
+    """Structural bounds of the raw-bits front-end on hostile input.
+
+    The light walk must agree with the full unpack on record count and
+    per-gch identity (they share the frame walk), and the decode
+    metadata the Pallas kernel trusts must stay within the bounds the
+    kernel's loops assume."""
+    from mp3rgain_tpu.decode import frontend as fe
+
+    lt = frontend.unpack_data_light(mutated)
+    if full is None:
+        full = frontend.unpack_data(mutated)
+    assert lt.n == full.n
+    if lt.n:
+        assert (lt.meta[:, fe.LM_P0] >= 0).all()
+        assert (lt.meta[:, fe.LM_P0] <= 7).all()
+        assert (lt.meta[:, fe.LM_P23] >= 0).all()
+        assert (lt.meta[:, fe.LM_BVP] >= 0).all()
+        assert (lt.meta[:, fe.LM_BVP] <= 288).all()
+        # Window bits fit the md row the packer ships.
+        bits = lt.meta[:, fe.LM_P0].astype(np.int64) + lt.meta[:, fe.LM_P23]
+        assert (bits <= 8 * fe.MD_STRIDE).all()
+    return lt
+
+
 def _mutations(data: bytes, rng, n: int):
     for _ in range(n):
         buf = bytearray(data)
@@ -48,6 +73,7 @@ def test_fuzz_mp3_paths(fixtures_dir):
         assert u.n >= 0
         if u.n:
             assert (np.abs(u.spectrum) <= 8206 + 8191).all()
+        _check_light(mutated, u)
 
 
 def test_fuzz_ape_paths(fixtures_dir):
@@ -101,6 +127,7 @@ def test_fuzz_pure_garbage():
         native.read_gains(blob)
         native.ape_parse(blob)
         frontend.unpack_data(blob)
+        _check_light(blob)
         aac_frontend.unpack_adts(blob)
 
 
@@ -129,7 +156,36 @@ def test_fuzz_crafted_stream_paths():
             native.frame_index(mutated)
             u = frontend.unpack_data(mutated)
             assert u.n >= 0
+            _check_light(mutated, u)
 
+
+def test_fuzz_device_entropy_path():
+    """Mutated crafted streams through the FULL raw-bits pipeline (pack +
+    interpret-mode Pallas decode): the kernel must terminate and match
+    the host decoder's spectra on whatever survives the light walk."""
+    from mp3rgain_tpu.decode import entropy_kernel as ek
+    from mp3rgain_tpu.testing import craft
+
+    rng = np.random.default_rng(12)
+    seed = craft.craft_mixed_block_stream(4, subblock_gain=(7, 3, 1))
+    for mutated in _mutations(seed, rng, 6):
+        full = frontend.unpack_data(mutated)
+        lt = _check_light(mutated, full)
+        if lt.n == 0:
+            continue
+        spec, big_end, c1end, ok = ek.decode_spectra(
+            lt.md, lt.meta, interpret=True
+        )
+        valid = full.info[:, 18] == 1  # fe.VALID
+        assert np.array_equal(
+            np.asarray(spec)[valid], full.spectrum[valid]
+        )
+
+
+def test_fuzz_crafted_aac_paths():
+    from mp3rgain_tpu.testing import craft_aac
+
+    rng = np.random.default_rng(13)
     aac_seeds = [
         craft_aac.craft_sce_stream(
             4, n_bands=45, energy={40: (1, -1, 1, 0)}, pulses=[(0, 4)],
