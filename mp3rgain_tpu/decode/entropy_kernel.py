@@ -493,13 +493,17 @@ NB_CAPS = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384,
            512, 768, 1024)
 
 
-def prepare_batch(md, meta, quantize_nb: bool = False) -> PreparedEntropy:
+def prepare_batch(md, meta, quantize_nb: bool = False,
+                  force_nb: int | None = None,
+                  force_w8_cap: int | None = None) -> PreparedEntropy:
     """Pack per-gch Huffman windows into sorted, blocked kernel inputs.
 
     md: (N, >=bytes) uint8 main-data windows (from unpack_data_light),
     or a list of such arrays (one per track — never concatenated; the
     native packer walks per-row pointers); meta: matching (N,
-    LIGHT_META_N) int32 array or list.
+    LIGHT_META_N) int32 array or list. force_nb / force_w8_cap pin the
+    static shapes (>= the data's requirements) so independently prepared
+    shards can share one compiled executable (multi-device dispatch).
     """
     import ctypes
 
@@ -516,6 +520,9 @@ def prepare_batch(md, meta, quantize_nb: bool = False) -> PreparedEntropy:
     nb = max(1, -(-n // LANES))
     if quantize_nb:
         nb = _cap(nb, NB_CAPS) if nb <= NB_CAPS[-1] else nb
+    if force_nb is not None:
+        assert force_nb >= nb, (force_nb, nb)
+        nb = force_nb
     npad = nb * LANES
 
     est = np.zeros(npad, np.int32)
@@ -548,6 +555,9 @@ def prepare_batch(md, meta, quantize_nb: bool = False) -> PreparedEntropy:
     w8_b = np.maximum((bits_s.max(axis=1) + 64 + 255) // 256, 1)
 
     w8_cap = _cap(int(w8_b.max()), W8_CAPS)
+    if force_w8_cap is not None:
+        assert force_w8_cap >= w8_cap, (force_w8_cap, w8_cap)
+        w8_cap = force_w8_cap
 
     # Per-row base pointers: the native packer gathers + big-endian word
     # packs + lane-transposes in one pass (numpy took ~20 s per 64x60s

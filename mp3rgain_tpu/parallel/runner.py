@@ -256,13 +256,15 @@ def _quantize_up(value: int, unit: int, base: int, ratio: float) -> int:
 def prepare_batch_arrays_light(
     unpacked: list[fe.UnpackedMp3Light], n_channels: int,
     pad_batch_to: int = 1,
+    force_shapes: tuple | None = None,
 ):
     """Pack light-unpacked tracks for _analysis_core_light.
 
     Returns (prep: PreparedEntropy, (rowmap, scf, info, valid_samples)).
     rowmap maps (track, granule-slot) → kernel output row; empty padding
     slots map to prep.npad (the dummy zero row appended on device).
-    """
+    force_shapes = (bpad, g_max, nb, w8_cap) pins all static shapes so
+    independently prepared shards share one executable."""
     from ..decode import entropy_kernel as ek
 
     bsz = len(unpacked)
@@ -271,10 +273,13 @@ def prepare_batch_arrays_light(
     g_max = _quantize_up(g_max, unit, base=512, ratio=1.3)
     bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
     bpad = -(-bpad // pad_batch_to) * pad_batch_to
+    force_nb = force_w8 = None
+    if force_shapes is not None:
+        bpad, g_max, force_nb, force_w8 = force_shapes
 
     prep = ek.prepare_batch(
         [u.md for u in unpacked], [u.meta for u in unpacked],
-        quantize_nb=True,
+        quantize_nb=True, force_nb=force_nb, force_w8_cap=force_w8,
     )
 
     rowmap = np.full((bpad, g_max), prep.npad, dtype=np.int32)
@@ -291,6 +296,53 @@ def prepare_batch_arrays_light(
         dtype=np.int32,
     )
     return prep, (rowmap, scf, info, valid_samples)
+
+
+def prepare_batch_arrays_light_sharded(
+    unpacked: list[fe.UnpackedMp3Light], n_channels: int, n_shards: int
+):
+    """Round-robin shard tracks and prepare every shard with IDENTICAL
+    static shapes, ready to stack on a leading device axis for
+    shard_map dispatch. Returns (args: tuple of (D, ...) np arrays,
+    (nb, w8_cap), shard_index) where shard_index[d][j] is the original
+    track index of shard d's j-th track."""
+    order = sorted(range(len(unpacked)), key=lambda i: unpacked[i].n,
+                   reverse=True)
+    shard_index = [order[d::n_shards] for d in range(n_shards)]
+    assert all(shard_index), "need at least one track per shard"
+    shards = [[unpacked[i] for i in idxs] for idxs in shard_index]
+
+    first = [
+        prepare_batch_arrays_light(s, n_channels) for s in shards
+    ]
+    bpad = max(r[1][0].shape[0] for r in first)
+    g_max = max(r[1][0].shape[1] for r in first)
+    nb = max(r[0].nb for r in first)
+    w8 = max(r[0].w8_cap for r in first)
+    results = []
+    for s, r in zip(shards, first):
+        prep, rest = r
+        if (rest[0].shape != (bpad, g_max) or prep.nb != nb
+                or prep.w8_cap != w8):
+            prep, rest = prepare_batch_arrays_light(
+                s, n_channels, force_shapes=(bpad, g_max, nb, w8)
+            )
+        results.append((prep, rest))
+
+    def stack(get):
+        return np.stack([get(p, r) for p, r in results])
+
+    args = (
+        stack(lambda p, r: p.scalars),
+        stack(lambda p, r: p.buf),
+        stack(lambda p, r: p.meta),
+        stack(lambda p, r: p.inv),
+        stack(lambda p, r: r[0]),
+        stack(lambda p, r: r[1]),
+        stack(lambda p, r: r[2]),
+        stack(lambda p, r: r[3]),
+    )
+    return args, (nb, w8), shard_index
 
 
 # ---------------------------------------------------------------------------
@@ -401,6 +453,60 @@ class MeshRunner:
             n_channels, sample_rate, w8_cap, nb, self.dtype, interpret
         )
 
+    def _pipeline_light_sharded(self, n_channels: int, sample_rate: int,
+                                w8_cap: int, nb: int):
+        """Raw-bits pipeline over the dp mesh: each device runs its own
+        Pallas entropy grid + analysis tail on its shard (cached per
+        instance — the mesh is part of the closure)."""
+        interpret = jax.default_backend() != "tpu"
+        key = ("light-sh", n_channels, sample_rate, w8_cap, nb, interpret)
+        if key in self._jitted:
+            return self._jitted[key]
+        core = partial(
+            _analysis_core_light,
+            w8_cap=w8_cap, nb=nb,
+            n_channels=n_channels, sample_rate=sample_rate,
+            dtype=self.dtype, interpret=interpret,
+        )
+        mesh = self.mesh
+        spec = P("dp")
+
+        @jax.jit
+        def run(*args):
+            def shard(*a):
+                h, li, pk = core(*(x[0] for x in a))
+                return h[None], li[None], pk[None]
+
+            # check_vma=False: pallas_call's out_shape carries no
+            # varying-mesh-axes annotation, and every operand/output here
+            # is explicitly dp-sharded anyway.
+            return jax.shard_map(
+                shard, mesh=mesh,
+                in_specs=tuple(spec for _ in args),
+                out_specs=(spec, spec, spec),
+                check_vma=False,
+            )(*args)
+
+        self._jitted[key] = run
+        return run
+
+    def dispatch_light_sharded(
+        self, unpacked: list[fe.UnpackedMp3Light], sample_rate: int,
+        n_channels: int,
+    ):
+        """Enqueue a raw-bits batch sharded over the dp mesh."""
+        if len(unpacked) < self.n_devices:
+            return self.dispatch_light(unpacked, sample_rate, n_channels)
+        args, (nb, w8), shard_index = prepare_batch_arrays_light_sharded(
+            unpacked, n_channels, self.n_devices
+        )
+        sharding = NamedSharding(self.mesh, P("dp"))
+        dev_args = [jax.device_put(a, sharding) for a in args]
+        run = self._pipeline_light_sharded(n_channels, sample_rate, w8, nb)
+        hist, loud_idx, peak = run(*dev_args)  # (D, B, ...)
+        return ("sharded", hist, loud_idx, peak, shard_index,
+                len(unpacked))
+
     def dispatch_light(
         self, unpacked: list[fe.UnpackedMp3Light], sample_rate: int,
         n_channels: int,
@@ -425,6 +531,19 @@ class MeshRunner:
 
     def collect(self, handle):
         """Block on a dispatched batch; only small scalars cross d2h."""
+        if isinstance(handle[0], str) and handle[0] == "sharded":
+            _, hist, loud_idx, peak, shard_index, total = handle
+            # Un-shard back to original track order (device row gather).
+            d_idx = np.empty(total, np.int32)
+            j_idx = np.empty(total, np.int32)
+            for d, idxs in enumerate(shard_index):
+                for j, i in enumerate(idxs):
+                    d_idx[i] = d
+                    j_idx[i] = j
+            handle = (
+                hist[d_idx, j_idx], loud_idx[d_idx, j_idx],
+                peak[d_idx, j_idx], total,
+            )
         hist, loud_idx, peak, bsz = handle
         stats = np.asarray(
             jnp.concatenate(
@@ -575,9 +694,12 @@ def analyze_library(
             raise RuntimeError("No valid MP3 frames found")
         return u
 
-    dispatch = (
-        runner.dispatch_light if device_entropy else runner.dispatch_heavy
-    )
+    if not device_entropy:
+        dispatch = runner.dispatch_heavy
+    elif runner.n_devices > 1:
+        dispatch = runner.dispatch_light_sharded
+    else:
+        dispatch = runner.dispatch_light
 
     def collect_one():
         handle, idxs, sr = inflight.pop(0)

@@ -104,6 +104,30 @@ def test_waves_and_overlap_match_single_pass(album_dir, tmp_path):
     assert base.album_peak == waved.album_peak
 
 
+def test_sharded_light_path_matches_single(album_dir):
+    """The raw-bits pipeline sharded over the dp mesh (Pallas entropy
+    kernel inside shard_map, one grid per device) must match the
+    single-device dispatch exactly."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    from mp3rgain_tpu.decode import frontend as fe
+
+    ups = [fe.unpack_file_light(p) for p in album_dir[:8]]
+    runner = MeshRunner()
+    assert runner.n_devices == 8
+    h1, l1, p1 = runner.collect(runner.dispatch_light(ups, 44100, 2))
+    hs, ls, ps = runner.collect(runner.dispatch_light_sharded(ups, 44100, 2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(hs))
+    np.testing.assert_array_equal(l1, ls)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(ps))
+
+    # Fewer tracks than devices falls back to the single-device path.
+    h2, l2, p2 = runner.collect(
+        runner.dispatch_light_sharded(ups[:3], 44100, 2)
+    )
+    np.testing.assert_array_equal(l2, l1[:3])
+
+
 def test_explicit_psum_album_reduce(album_dir):
     runner = MeshRunner()
     res = analyze_library(album_dir[:8], runner=runner, album=True)
