@@ -11,12 +11,12 @@ Architecture (per SURVEY.md §7 hard-part #1, redesigned TPU-first):
   - per-lane word fetch from the (W8, 8, L) stream buffer by select-sum;
   - per step, each lane decodes ONE spectral item (an (x, y) pair in the
     big-values region or a 4-value quad in count1):
-      window(9b) -> one-hot (512, L) bf16 -> LUT matmul on the MXU
+      window(8b) -> one-hot (256, L) int8 -> LUT matmul on the MXU
       (exact: each one-hot column selects a single packed-byte LUT row),
-      long codes resolve the same step through a second window over the
-      192 continuation groups (LUT_B); the two 19-bit codes of table 13
-      resolve by one extra bit; escape linbits and sign bits are pure
-      VPU shift arithmetic;
+      long codes resolve the same step through an 8+5+6-bit window
+      cascade over content-deduped continuation groups (LUT_B/LUT_C);
+      count1 quads use their own 6-bit window over a 2-group LUT;
+      escape linbits and sign bits are pure VPU shift arithmetic;
   - outputs go to a stride-4 step-indexed buffer via an 8-row pending
     register flushed at aligned offsets; one XLA take_along_axis gather
     compacts it into the (N, 576) spectrum (big pairs at 2n, count1
@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import frontend as fe
-from .entropy_tables import F2_L3, N_GROUPS_A, build_luts, build_luts_ml
+from .entropy_tables import F2_L3, GROUP_COUNT1_A, N_GROUPS_A, build_luts
 
 
 def _declare_pack(lib):
@@ -90,14 +90,17 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
     nc_rows = 2 * n_l3
 
     def kernel(sref, buf_ref, meta_ref, lutA_ref, lutB_ref, lutC_ref,
-               gA_ref, gB_ref, gC_ref, out_ref, mout_ref, c_ref):
+               lutCT_ref, gA_ref, gB_ref, gC_ref, gCT_ref, out_ref,
+               mout_ref, c_ref):
         i32 = jnp.int32
         u32 = jnp.uint32
-        iota512 = lax.broadcasted_iota(i32, (512, L), 0)
+        iota256 = lax.broadcasted_iota(i32, (256, L), 0)
         iota32 = lax.broadcasted_iota(i32, (32, L), 0)
+        iota64 = lax.broadcasted_iota(i32, (64, L), 0)
         iotaA = lax.broadcasted_iota(i32, (na_rows, L), 0) // 2
         iotaB = lax.broadcasted_iota(i32, (nb_rows, L), 0) // 2
         iotaC = lax.broadcasted_iota(i32, (nc_rows, L), 0) // 2
+        iotaCT = lax.broadcasted_iota(i32, (4, L), 0) // 2
         row8 = lax.broadcasted_iota(i32, (8, L), 0)
 
         pid = pl.program_id(0)
@@ -186,9 +189,9 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             return f[0:1, :] + 128, f[1:2, :] + 128
 
         def lookup_a(extract, p, gid):
-            """9-bit window -> LUT_A fields [ab, adv, flag]."""
-            win1 = extract(p, 9)
-            ab, af = lut_fields(win1, gid, lutA_ref, gA_ref, iota512, iotaA)
+            """8-bit window -> LUT_A fields [ab, adv, flag]."""
+            win1 = extract(p, 8)
+            ab, af = lut_fields(win1, gid, lutA_ref, gA_ref, iota256, iotaA)
             return ab, af & 15, af >> 4
 
         # --- phase 1: big values; pair k lands at rows (2k, 2k+1) --------
@@ -203,24 +206,40 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             cont = (flag1 == 1) & can_big
             bad = (flag1 == 3) & can_big
 
-            # Continuation levels: two 5-bit windows (9 + 5 + 5 covers the
-            # longest code, 19 bits) — 16x less MXU contraction than one
-            # 9-bit continuation window.
-            win2 = extract(p + 9, 5)
-            ab2, f2 = lut_fields(win2, ab1, lutB_ref, gB_ref, iota32, iotaB)
+            # Continuation levels: a 5-bit then a 6-bit window (8 + 5 + 6
+            # covers the longest code, 19 bits) over content-deduped
+            # groups — far less MXU contraction than one 9-bit
+            # continuation window. The continuation lookups are the bulk
+            # of the per-step MXU issues but on real content only ~half
+            # of lockstep steps have ANY lane on a long code (measured:
+            # tools/meas_cont.py, 47% at 192 kbps), so the whole level is
+            # skipped when no lane continues.
+            def cont_levels(_):
+                win2 = extract(p + 8, 5)
+                ab2, f2 = lut_fields(win2, ab1, lutB_ref, gB_ref, iota32,
+                                     iotaB)
+                win3 = extract(p + 13, 6)
+                ab3, rem3 = lut_fields(win3, ab2, lutC_ref, gC_ref, iota64,
+                                       iotaC)
+                return ab2, f2, ab3, rem3
+
+            def no_cont(_):
+                # No lane continues: f2/rem3 never read through `cont`.
+                z = jnp.zeros((1, L), i32)
+                return z, z, z, z
+
+            ab2, f2, ab3, rem3 = lax.cond(
+                jnp.any(cont), cont_levels, no_cont, None
+            )
             cont3 = cont & (f2 == F2_L3)
             bad = bad | (cont & (f2 == 0))
-
-            win3 = extract(p + 14, 5)
-            ab3, rem3 = lut_fields(win3, ab2, lutC_ref, gC_ref, iota32,
-                                   iotaC)
             bad = bad | (cont3 & (rem3 == 0))
 
             abf = jnp.where(cont3, ab3, jnp.where(cont, ab2, ab1))
             x = abf & 15
             y = abf >> 4
             clen = jnp.where(
-                cont3, 14 + rem3, jnp.where(cont, 9 + f2, adv1)
+                cont3, 13 + rem3, jnp.where(cont, 8 + f2, adv1)
             )
 
             # escape linbits + sign bits
@@ -279,7 +298,14 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             )
 
             extract = make_extract(p)
-            ab1, adv1, flag1 = lookup_a(extract, p, gcnt)
+            # count1 codes are at most 6 bits: a dedicated 6-bit window
+            # over the 2-group LUT_CT (a (4, 64) contraction) replaces the
+            # big-values primary lookup here.
+            win_ct = extract(p, 6)
+            ab1, af = lut_fields(win_ct, gcnt - GROUP_COUNT1_A, lutCT_ref,
+                                 gCT_ref, iota64, iotaCT)
+            adv1 = af & 15
+            flag1 = af >> 4
             bad = (flag1 == 3) & can_cnt
 
             qq = p + adv1
@@ -361,35 +387,28 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
 def _luts_packed():
     """Pack LUT fields into bytes: 2 rows per group.
 
-    LUT_A row pair (512-wide): [a + 16*b (or the L2 group id for long
-                                prefixes), adv + 16*flag]
-    LUT_B row pair (32-wide):  [ab, f2] (f2: 0 invalid, 1..5 rem, 6 L3)
-    LUT_C row pair (32-wide):  [ab, rem3] (0 invalid)
-    All values <= 255 so bf16 carries them exactly.
+    LUT_A row pair (256-wide):  [ab (or the L2 group id for long
+                                 prefixes), adv + 16*flag]
+    LUT_B row pair (32-wide):   [ab, f2] (f2: 0 invalid, 1..5 rem, 6 L3)
+    LUT_C row pair (64-wide):   [ab, rem3] (0 invalid)
+    LUT_CT row pair (64-wide):  [v, adv + 16*flag] (count1 A/B)
+    All values <= 255 so the int8 offset trick below is exact.
     """
-    lut_a, _, _, _, _ = build_luts()
-    lut_b5, lut_c5, n_l2, n_l3 = build_luts_ml()
-    na = lut_a.reshape(512, N_GROUPS_A, 4).astype(np.int32)
-    a, b, adv, flag = na[..., 0], na[..., 1], na[..., 2], na[..., 3]
-    # Short codes / count1: ab = a + 16*b. Long prefixes: the group id was
-    # stored split (a = gid & 127, b = gid >> 7); repack as the raw id.
-    gid = a + 128 * b
-    ab = np.where(flag == 1, gid, a + 16 * b)
-    packed_a = np.stack([ab, adv + 16 * flag], axis=-1)  # (512, GA, 2)
-    lutA_T = np.ascontiguousarray(
-        packed_a.reshape(512, -1).T
-    ).astype(np.float32)
-
-    lutB_T = np.ascontiguousarray(lut_b5.T).astype(np.float32)
-    lutC_T = np.ascontiguousarray(lut_c5.T).astype(np.float32)
+    lut_a, lut_b, lut_c, lut_ct, n_l2, n_l3 = build_luts()
+    lutA_T = np.ascontiguousarray(lut_a.T).astype(np.float32)
+    lutB_T = np.ascontiguousarray(lut_b.T).astype(np.float32)
+    lutC_T = np.ascontiguousarray(lut_c.T).astype(np.float32)
+    lutCT_T = np.ascontiguousarray(lut_ct.T).astype(np.float32)
 
     gA = np.zeros((2, lutA_T.shape[0]), np.float32)
     gB = np.zeros((2, lutB_T.shape[0]), np.float32)
     gC = np.zeros((2, lutC_T.shape[0]), np.float32)
+    gCT = np.zeros((2, lutCT_T.shape[0]), np.float32)
     for f in range(2):
         gA[f, f::2] = 1
         gB[f, f::2] = 1
         gC[f, f::2] = 1
+        gCT[f, f::2] = 1
     # int8 MXU path (2x the bf16 rate on v5e, exact by construction):
     # field values are 0..255, stored offset by -128 to fit int8; the
     # group-select dot adds exactly one (value - 128) plus zeros, so
@@ -399,9 +418,11 @@ def _luts_packed():
         (lutA_T - 128).astype(np.int8),
         (lutB_T - 128).astype(np.int8),
         (lutC_T - 128).astype(np.int8),
+        (lutCT_T - 128).astype(np.int8),
         gA.astype(np.int8),
         gB.astype(np.int8),
         gC.astype(np.int8),
+        gCT.astype(np.int8),
         n_l2,
         n_l3,
     )
@@ -409,7 +430,8 @@ def _luts_packed():
 
 @lru_cache(maxsize=None)
 def _decode_call(w8_cap: int, nb: int, interpret: bool):
-    lutA_T, lutB_T, lutC_T, gA, gB, gC, n_l2, n_l3 = _luts_packed()
+    (lutA_T, lutB_T, lutC_T, lutCT_T, gA, gB, gC, gCT,
+     n_l2, n_l3) = _luts_packed()
     kern = _kernel(LANES, n_l2, n_l3)
 
     def full(shape):
@@ -427,9 +449,11 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
             full(lutA_T.shape),
             full(lutB_T.shape),
             full(lutC_T.shape),
+            full(lutCT_T.shape),
             full(gA.shape),
             full(gB.shape),
             full(gC.shape),
+            full(gCT.shape),
         ],
         out_specs=(
             pl.BlockSpec((1, 576, LANES), lambda i, s: (i, 0, 0),
@@ -451,7 +475,8 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
 
     @jax.jit
     def run(scalars, buf, meta):
-        return call(scalars, buf, meta, lutA_T, lutB_T, lutC_T, gA, gB, gC)
+        return call(scalars, buf, meta, lutA_T, lutB_T, lutC_T, lutCT_T,
+                    gA, gB, gC, gCT)
 
     return run
 
