@@ -136,9 +136,21 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
         def sel3(j, a, b, c):
             return jnp.where(j == 0, a, jnp.where(j == 1, b, c))
 
-        def make_extract(p):
-            """Bit extractor for windows within ~80 bits after `p`."""
+        def make_extract(p, active):
+            """Bit extractor for windows within ~80 bits after `p`.
+
+            The select-sum word gather only scans the word-groups that
+            *active* lanes can touch: lanes are sorted by workload so
+            their bit positions cluster, and on uniform content the
+            dynamic [lo, hi) bounds cover 1-2 of the up-to-17 groups.
+            Inactive lanes (dead, or past their phase) read garbage — all
+            their downstream uses are masked by the same predicate.
+            """
             wi = p >> 5
+            wi_act = jnp.where(active, wi, jnp.int32(0x7FFFFFFF))
+            lo = jnp.min(wi_act) >> 3
+            wi_hi = jnp.max(jnp.where(active, wi, -1))
+            hi = jnp.minimum(((wi_hi + 2) >> 3) + 1, nw8)
 
             def fetch(wg, accs):
                 a0, a1, a2 = accs
@@ -151,7 +163,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
                     a2 = a2 + jnp.where(wi == base + j - 2, row, 0)
                 return (a0, a1, a2)
 
-            w0, w1, w2 = lax.fori_loop(0, nw8, fetch, (zero, zero, zero))
+            w0, w1, w2 = lax.fori_loop(lo, hi, fetch, (zero, zero, zero))
             u0 = w0.astype(u32)
             u1 = w1.astype(u32)
             u2 = w2.astype(u32)
@@ -199,7 +211,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             p, n, alive, bad_ever, pending = carry
             can_big = (k < bvp) & (p < pend) & (alive == 1)
 
-            extract = make_extract(p)
+            extract = make_extract(p, can_big)
             gbig = jnp.where(n < r0p, g0, jnp.where(n < r1p, g1, g2))
             linb = jnp.where(n < r0p, l0, jnp.where(n < r1p, l1, l2))
             ab1, adv1, flag1 = lookup_a(extract, p, gbig)
@@ -297,7 +309,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
                 (p < pend) & (alive == 1) & (2 * n + 4 * q + 4 <= 576)
             )
 
-            extract = make_extract(p)
+            extract = make_extract(p, can_cnt)
             # count1 codes are at most 6 bits: a dedicated 6-bit window
             # over the 2-group LUT_CT (a (4, 64) contraction) replaces the
             # big-values primary lookup here.
