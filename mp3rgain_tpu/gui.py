@@ -102,6 +102,14 @@ class AppState:
         entry.clipping = entry.peak * 10.0 ** (gain / 20.0) > 1.0
 
     def analyze_tracks(self, progress_cb=None) -> None:
+        # Large file sets go through the batch mesh runner (same
+        # threshold as the CLI, scan.BATCH_THRESHOLD); below it the
+        # per-file loop keeps per-row progress snappy.
+        from .scan import BATCH_THRESHOLD
+
+        if len(self.files) >= BATCH_THRESHOLD:
+            self._analyze_batch(album=False, progress_cb=progress_cb)
+            return
         for i, entry in enumerate(self.files):
             try:
                 res = replaygain.analyze_track(entry.path)
@@ -122,6 +130,11 @@ class AppState:
         paths = [f.path for f in self.files]
         if not paths:
             return
+        from .scan import BATCH_THRESHOLD
+
+        if len(paths) >= BATCH_THRESHOLD:
+            self._analyze_batch(album=True, progress_cb=progress_cb)
+            return
         try:
             album = replaygain.analyze_album(paths)
         except Exception as e:
@@ -137,6 +150,35 @@ class AppState:
         self.progress = 1.0
         if progress_cb:
             progress_cb(1.0, None)
+
+    def _analyze_batch(self, album: bool, progress_cb=None) -> None:
+        """Batched analysis over the device mesh (scan.scan_files):
+        bucketed batching, per-file fault isolation, identical results to
+        the sequential path (same pipeline underneath)."""
+        from .scan import album_union, scan_files
+
+        paths = [f.path for f in self.files]
+        scan = scan_files(paths)
+        album_gain = None
+        if album:
+            _, album_gain, _ = album_union(scan, paths)
+        for i, entry in enumerate(self.files):
+            res = scan.results.get(str(entry.path))
+            if res is None or isinstance(res, Exception):
+                entry.status = "error"
+                entry.error = str(res) if res is not None else "not analyzed"
+            else:
+                entry.volume_db = REPLAYGAIN_REFERENCE_DB - res.gain_db
+                entry.track_gain_db = res.gain_db
+                if album and album_gain is not None:
+                    entry.album_gain_db = album_gain
+                entry.peak = res.peak
+                entry.status = "analyzed"
+                entry.error = None
+            self._update_clipping(entry)
+            self.progress = (i + 1) / max(len(self.files), 1)
+            if progress_cb:
+                progress_cb(self.progress, entry)
 
     # -- apply (app.rs:247-330) ----------------------------------------------
 

@@ -79,3 +79,54 @@ def test_rows_render(state):
     rows = list(state.rows())
     assert len(rows) == 2
     assert all(r["track_gain"] != "-" for r in rows)
+
+
+def test_batch_analysis_matches_sequential(fixtures_dir, tmp_path):
+    """>= scan.BATCH_THRESHOLD files route through the mesh runner and
+    must produce the same per-file results as the sequential path."""
+    from mp3rgain_tpu.scan import BATCH_THRESHOLD
+
+    names = ("test_mono.mp3", "test_joint_stereo.mp3")
+    paths = []
+    for i in range(BATCH_THRESHOLD):
+        p = tmp_path / f"t{i:02d}.mp3"
+        shutil.copy(fixtures_dir / names[i % len(names)], p)
+        paths.append(p)
+
+    batch = AppState()
+    assert batch.add_files(paths) == BATCH_THRESHOLD
+    batch.analyze_tracks()  # takes the _analyze_batch path
+    assert all(f.status == "analyzed" for f in batch.files)
+
+    seq = AppState()
+    seq.add_files(paths[:2])
+    seq.analyze_tracks()  # below threshold: per-file loop
+    for bf, sf in zip(batch.files[:2], seq.files):
+        assert bf.track_gain_db == pytest.approx(sf.track_gain_db, abs=1e-9)
+        assert bf.peak == pytest.approx(sf.peak, rel=1e-6)
+
+    # Album over the same set: one shared album gain + clip update.
+    batch.analyze_album()
+    gains = {f.album_gain_db for f in batch.files}
+    assert len(gains) == 1 and None not in gains
+
+
+def test_batch_analysis_isolates_bad_files(fixtures_dir, tmp_path):
+    from mp3rgain_tpu.scan import BATCH_THRESHOLD
+
+    paths = []
+    for i in range(BATCH_THRESHOLD - 1):
+        p = tmp_path / f"t{i:02d}.mp3"
+        shutil.copy(fixtures_dir / "test_mono.mp3", p)
+        paths.append(p)
+    bad = tmp_path / "bad.mp3"
+    bad.write_bytes(b"\xff\xfb" + b"\x00" * 64)  # sync but no valid frames
+    paths.append(bad)
+
+    s = AppState()
+    s.add_files(paths)
+    s.analyze_tracks()
+    by_name = {f.name: f for f in s.files}
+    assert by_name["bad.mp3"].status == "error"
+    good = [f for f in s.files if f.name != "bad.mp3"]
+    assert all(f.status == "analyzed" for f in good)
