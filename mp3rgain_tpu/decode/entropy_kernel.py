@@ -35,6 +35,7 @@ asserts exact integer spectrum equality on all fixture classes.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -68,6 +69,16 @@ from ..native import _lib as _native_lib  # noqa: E402
 _declare_pack(_native_lib)
 
 LANES = 1024  # granule-channels per grid block
+# Blocks decoded per grid program. The hope for ILV=2 was that the
+# scheduler would overlap one block's MXU lookups with the other's VPU
+# bit arithmetic (the per-step chain is serial within a block), but the
+# measured A/B on v5e is a wash: 8.08 ms (ILV=2) vs 7.94 ms (ILV=1) on
+# the nb=16 devbench — Mosaic emits the two chains back to back without
+# cross-chain overlap, and the doubled working set needed an int8
+# count1 scratch just to fit the ~16 MB VMEM budget. Default 1; the
+# machinery stays for re-testing on other generations
+# (MP3RGAIN_ENTROPY_ILV=2).
+ILV = int(os.environ.get("MP3RGAIN_ENTROPY_ILV", "1"))
 META_ROWS = 16
 MAX_STEPS = 288  # >= bvp + (576-2*bvp)/4 for all legal streams
 # Capacity classes: one compile per w8_cap (the output is always the
@@ -83,7 +94,7 @@ def _cap(value, caps):
     return caps[-1]
 
 
-def _kernel(lanes: int, n_l2: int, n_l3: int):
+def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
     L = lanes
     na_rows = 2 * N_GROUPS_A
     nb_rows = 2 * n_l2
@@ -104,24 +115,36 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
         row8 = lax.broadcasted_iota(i32, (8, L), 0)
 
         pid = pl.program_id(0)
-        nbig = sref[pid, 0]
-        ncnt = sref[pid, 1]
-        nw8 = sref[pid, 2]
 
-        m = meta_ref[0]
-        p0 = m[fe.LM_P0 : fe.LM_P0 + 1, :]
-        p23 = m[fe.LM_P23 : fe.LM_P23 + 1, :]
-        bvp = m[fe.LM_BVP : fe.LM_BVP + 1, :]
-        r0p = m[fe.LM_R0P : fe.LM_R0P + 1, :]
-        r1p = m[fe.LM_R1P : fe.LM_R1P + 1, :]
-        g0 = m[fe.LM_G0 : fe.LM_G0 + 1, :]
-        g1 = m[fe.LM_G1 : fe.LM_G1 + 1, :]
-        g2 = m[fe.LM_G2 : fe.LM_G2 + 1, :]
-        l0 = m[fe.LM_L0 : fe.LM_L0 + 1, :]
-        l1 = m[fe.LM_L1 : fe.LM_L1 + 1, :]
-        l2 = m[fe.LM_L2 : fe.LM_L2 + 1, :]
-        gcnt = m[fe.LM_GCNT : fe.LM_GCNT + 1, :]
-        pend = p0 + p23
+        class Half:
+            """Per-block constants for one of the interleaved blocks."""
+
+            def __init__(self, h):
+                self.h = h
+                self.nbig = sref[ilv * pid + h, 0]
+                self.ncnt = sref[ilv * pid + h, 1]
+                self.nw8 = sref[ilv * pid + h, 2]
+                m = meta_ref[h]
+                self.p0 = m[fe.LM_P0 : fe.LM_P0 + 1, :]
+                p23 = m[fe.LM_P23 : fe.LM_P23 + 1, :]
+                self.bvp = m[fe.LM_BVP : fe.LM_BVP + 1, :]
+                self.r0p = m[fe.LM_R0P : fe.LM_R0P + 1, :]
+                self.r1p = m[fe.LM_R1P : fe.LM_R1P + 1, :]
+                self.g0 = m[fe.LM_G0 : fe.LM_G0 + 1, :]
+                self.g1 = m[fe.LM_G1 : fe.LM_G1 + 1, :]
+                self.g2 = m[fe.LM_G2 : fe.LM_G2 + 1, :]
+                self.l0 = m[fe.LM_L0 : fe.LM_L0 + 1, :]
+                self.l1 = m[fe.LM_L1 : fe.LM_L1 + 1, :]
+                self.l2 = m[fe.LM_L2 : fe.LM_L2 + 1, :]
+                self.gcnt = m[fe.LM_GCNT : fe.LM_GCNT + 1, :]
+                self.pend = self.p0 + p23
+
+        halves = [Half(h) for h in range(ilv)]
+        nbig = halves[0].nbig
+        ncnt = halves[0].ncnt
+        for hh in halves[1:]:
+            nbig = jnp.maximum(nbig, hh.nbig)
+            ncnt = jnp.maximum(ncnt, hh.ncnt)
 
         zero = jnp.zeros((1, L), i32)
         zero_u = jnp.zeros((1, L), u32)
@@ -130,13 +153,15 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
         # COMPACTED (576, L) spectrum and no XLA gather is needed (an
         # elementwise take_along_axis over the old stride-4 buffer cost
         # ~20x the kernel itself on TPU).
-        out_ref[0] = jnp.zeros((576, L), i32)
-        c_ref[...] = jnp.zeros((576, L), i32)
+        out_ref[...] = jnp.zeros((ilv, 576, L), i32)
+        # count1 values are -1/0/1: int8 scratch keeps the interleaved
+        # kernel inside the ~16 MB VMEM budget.
+        c_ref[...] = jnp.zeros((ilv, 576, L), jnp.int8)
 
         def sel3(j, a, b, c):
             return jnp.where(j == 0, a, jnp.where(j == 1, b, c))
 
-        def make_extract(p, active):
+        def make_extract(hh, p, active):
             """Bit extractor for windows within ~80 bits after `p`.
 
             The select-sum word gather only scans the word-groups that
@@ -150,11 +175,11 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             wi_act = jnp.where(active, wi, jnp.int32(0x7FFFFFFF))
             lo = jnp.min(wi_act) >> 3
             wi_hi = jnp.max(jnp.where(active, wi, -1))
-            hi = jnp.minimum(((wi_hi + 2) >> 3) + 1, nw8)
+            hi = jnp.minimum(((wi_hi + 2) >> 3) + 1, hh.nw8)
 
             def fetch(wg, accs):
                 a0, a1, a2 = accs
-                blk = buf_ref[0, wg]  # (8, L)
+                blk = buf_ref[hh.h, wg]  # (8, L)
                 base = wg * 8
                 for j in range(8):
                     row = blk[j : j + 1, :]
@@ -207,13 +232,15 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             return ab, af & 15, af >> 4
 
         # --- phase 1: big values; pair k lands at rows (2k, 2k+1) --------
-        def big_step(k, carry):
+        def big_step_one(hh, k, carry):
             p, n, alive, bad_ever, pending = carry
-            can_big = (k < bvp) & (p < pend) & (alive == 1)
+            can_big = (k < hh.bvp) & (p < hh.pend) & (alive == 1)
 
-            extract = make_extract(p, can_big)
-            gbig = jnp.where(n < r0p, g0, jnp.where(n < r1p, g1, g2))
-            linb = jnp.where(n < r0p, l0, jnp.where(n < r1p, l1, l2))
+            extract = make_extract(hh, p, can_big)
+            gbig = jnp.where(n < hh.r0p, hh.g0,
+                             jnp.where(n < hh.r1p, hh.g1, hh.g2))
+            linb = jnp.where(n < hh.r0p, hh.l0,
+                             jnp.where(n < hh.r1p, hh.l1, hh.l2))
             ab1, adv1, flag1 = lookup_a(extract, p, gbig)
             cont = (flag1 == 1) & can_big
             bad = (flag1 == 3) & can_big
@@ -285,7 +312,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
 
             @pl.when(k % 4 == 3)
             def _():
-                out_ref[0, pl.ds(8 * (k // 4), 8), :] = pending
+                out_ref[hh.h, pl.ds(8 * (k // 4), 8), :] = pending
 
             p = jnp.where(emit, p_big, p)
             n = n + emit.astype(i32)
@@ -293,29 +320,40 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             bad_ever = jnp.where(bad, 1, bad_ever)
             return (p, n, alive, bad_ever, pending)
 
-        init1 = (
-            p0,
-            zero,
-            jnp.ones((1, L), i32),
-            jnp.zeros((1, L), i32),
-            jnp.zeros((8, L), i32),
-        )
-        p, n, alive, bad_ever, _ = lax.fori_loop(0, nbig, big_step, init1)
-
-        # --- phase 2: count1 quads; quad j at scratch rows 4j..4j+3 ------
-        def cnt_step(j, carry):
-            p, q, alive, bad_ever, pending = carry
-            can_cnt = (
-                (p < pend) & (alive == 1) & (2 * n + 4 * q + 4 <= 576)
+        def big_step(k, carries):
+            # Interleave: the halves are independent, so the scheduler can
+            # overlap one half's MXU lookups with the other's VPU phase.
+            return tuple(
+                big_step_one(hh, k, c) for hh, c in zip(halves, carries)
             )
 
-            extract = make_extract(p, can_cnt)
+        init1 = tuple(
+            (
+                hh.p0,
+                zero,
+                jnp.ones((1, L), i32),
+                jnp.zeros((1, L), i32),
+                jnp.zeros((8, L), i32),
+            )
+            for hh in halves
+        )
+        states1 = lax.fori_loop(0, nbig, big_step, init1)
+        big_n = [st[1] for st in states1]
+
+        # --- phase 2: count1 quads; quad j at scratch rows 4j..4j+3 ------
+        def cnt_step_one(hh, n, j, carry):
+            p, q, alive, bad_ever, pending = carry
+            can_cnt = (
+                (p < hh.pend) & (alive == 1) & (2 * n + 4 * q + 4 <= 576)
+            )
+
+            extract = make_extract(hh, p, can_cnt)
             # count1 codes are at most 6 bits: a dedicated 6-bit window
             # over the 2-group LUT_CT (a (4, 64) contraction) replaces the
             # big-values primary lookup here.
             win_ct = extract(p, 6)
-            ab1, af = lut_fields(win_ct, gcnt - GROUP_COUNT1_A, lutCT_ref,
-                                 gCT_ref, iota64, iotaCT)
+            ab1, af = lut_fields(win_ct, hh.gcnt - GROUP_COUNT1_A,
+                                 lutCT_ref, gCT_ref, iota64, iotaCT)
             adv1 = af & 15
             flag1 = af >> 4
             bad = (flag1 == 3) & can_cnt
@@ -337,7 +375,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             c2 = jnp.where(v1_ == 1, 1 - 2 * ((sb >> (3 - o2)) & 1), 0)
             c3 = jnp.where(v0_ == 1, 1 - 2 * ((sb >> (3 - o3)) & 1), 0)
             p_cnt = qq + nz
-            over = can_cnt & (p_cnt > pend)
+            over = can_cnt & (p_cnt > hh.pend)
 
             emit = can_cnt & (~over) & (~bad)
             s0v = jnp.where(emit, c0, 0)
@@ -353,7 +391,9 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
 
             @pl.when(j % 2 == 1)
             def _():
-                c_ref[pl.ds(8 * (j // 2), 8), :] = pending
+                c_ref[hh.h, pl.ds(8 * (j // 2), 8), :] = pending.astype(
+                    jnp.int8
+                )
 
             p = jnp.where(emit, p_cnt, p)
             q = q + emit.astype(i32)
@@ -361,36 +401,48 @@ def _kernel(lanes: int, n_l2: int, n_l3: int):
             bad_ever = jnp.where(bad, 1, bad_ever)
             return (p, q, alive, bad_ever, pending)
 
-        init2 = (p, zero, alive, bad_ever, jnp.zeros((8, L), i32))
-        p, q, alive, bad_ever, _ = lax.fori_loop(0, ncnt, cnt_step, init2)
+        def cnt_step(j, carries):
+            return tuple(
+                cnt_step_one(hh, n, j, c)
+                for hh, n, c in zip(halves, big_n, carries)
+            )
 
-        # --- place count1: per-lane barrel shift by 2*big_values ---------
-        # Quad j belongs at spectrum rows 2*bvp + 4j + m; the scratch has
-        # it at 4j + m, so roll down by s = 2*bvp (circular is safe: the
-        # wrapped region sources only rows >= 4*quads, which are zero).
-        s = 2 * bvp  # (1, L), 0..576
-        cv = c_ref[...]
-        for b in range(10):
-            amt = 1 << b
-            hit = ((s >> b) & 1) == 1
-            cv = jnp.where(hit, jnp.roll(cv, amt, axis=0), cv)
-        out_ref[0] = out_ref[0] + cv
-
-        badi = bad_ever
-        mout = jnp.concatenate(
-            [
-                jnp.where(badi == 1, 0, 2 * n),          # big_end
-                jnp.where(badi == 1, 0, 2 * n + 4 * q),  # count1_end
-                badi,
-                p,
-                n,
-                q,
-                alive,
-                zero,
-            ],
-            axis=0,
+        init2 = tuple(
+            (st[0], zero, st[2], st[3], jnp.zeros((8, L), i32))
+            for st in states1
         )
-        mout_ref[0] = mout
+        states2 = lax.fori_loop(0, ncnt, cnt_step, init2)
+
+        for hh, n, st in zip(halves, big_n, states2):
+            p, q, alive, bad_ever, _ = st
+            # --- place count1: per-lane barrel shift by 2*big_values -----
+            # Quad j belongs at spectrum rows 2*bvp + 4j + m; the scratch
+            # has it at 4j + m, so roll down by s = 2*bvp (circular is
+            # safe: the wrapped region sources only rows >= 4*quads,
+            # which are zero).
+            s = 2 * hh.bvp  # (1, L), 0..576
+            cv = c_ref[hh.h]  # int8; rolled narrow, widened once at the add
+            for b in range(10):
+                amt = 1 << b
+                hit = ((s >> b) & 1) == 1
+                cv = jnp.where(hit, jnp.roll(cv, amt, axis=0), cv)
+            out_ref[hh.h] = out_ref[hh.h] + cv.astype(i32)
+
+            badi = bad_ever
+            mout = jnp.concatenate(
+                [
+                    jnp.where(badi == 1, 0, 2 * n),          # big_end
+                    jnp.where(badi == 1, 0, 2 * n + 4 * q),  # count1_end
+                    badi,
+                    p,
+                    n,
+                    q,
+                    alive,
+                    zero,
+                ],
+                axis=0,
+            )
+            mout_ref[hh.h] = mout
 
     return kernel
 
@@ -444,7 +496,10 @@ def _luts_packed():
 def _decode_call(w8_cap: int, nb: int, interpret: bool):
     (lutA_T, lutB_T, lutC_T, lutCT_T, gA, gB, gC, gCT,
      n_l2, n_l3) = _luts_packed()
-    kern = _kernel(LANES, n_l2, n_l3)
+    # Interleave ILV blocks per program when the grid divides evenly
+    # (prepare_batch rounds nb up); fall back to 1 for odd legacy sizes.
+    ilv = ILV if nb % ILV == 0 else 1
+    kern = _kernel(LANES, n_l2, n_l3, ilv)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i, s: (0,) * len(shape),
@@ -452,11 +507,11 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb // ilv,),
         in_specs=[
-            pl.BlockSpec((1, w8_cap, 8, LANES), lambda i, s: (i, 0, 0, 0),
+            pl.BlockSpec((ilv, w8_cap, 8, LANES), lambda i, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, META_ROWS, LANES), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((ilv, META_ROWS, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             full(lutA_T.shape),
             full(lutB_T.shape),
@@ -468,12 +523,12 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
             full(gCT.shape),
         ],
         out_specs=(
-            pl.BlockSpec((1, 576, LANES), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((ilv, 576, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((ilv, 8, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((576, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((ilv, 576, LANES), jnp.int8)],
     )
     call = pl.pallas_call(
         kern,
@@ -560,6 +615,9 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
     if force_nb is not None:
         assert force_nb >= nb, (force_nb, nb)
         nb = force_nb
+    # Pad to the kernel's block-interleave factor; padding blocks carry
+    # zero meta so their per-pair loop bound is the real block's.
+    nb = -(-nb // ILV) * ILV
     npad = nb * LANES
 
     est = np.zeros(npad, np.int32)
