@@ -51,9 +51,14 @@ def build_corpus(root: str, n_tracks: int, seed: int = 11):
         if ch == 2:
             pcm = np.stack([pcm, np.roll(pcm, 7)], axis=1)
         p = os.path.join(root, f"track_{i:04d}_{sr}_{ch}ch.mp3")
-        if not os.path.exists(p):
-            with open(p, "wb") as f:
+        # Temp-write + rename so a killed run can't leave a truncated
+        # file that a later run would skip (reuse checks size, not just
+        # existence).
+        if not os.path.exists(p) or os.path.getsize(p) == 0:
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as f:
                 f.write(fixtures.encode_mp3(pcm, sr, bitrate=kbps, mode=mode))
+            os.replace(tmp, p)
         paths.append(p)
         audio_total += seconds
     # Corrupt files: must be isolated, not poison the scan.
