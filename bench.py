@@ -119,11 +119,13 @@ def main() -> None:
 
     if on_tpu:
         # Raw-bits path: host light walk + on-device entropy decode.
-        # First-touch page faults on this VM run at ~8 MB/s (measured),
-        # so warm the allocator arena once and report the steady-state
-        # pack cost (what a long scan actually pays per batch).
+        # The pack buffers are pooled (utils/bufpool), so warm the pool
+        # once and report the steady-state pack cost (what a long scan
+        # actually pays per batch — no first-touch page faults).
+        from mp3rgain_tpu.utils import bufpool
+
         prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
-        del prep, rest
+        bufpool.give(prep.buf, prep.meta, *rest[:3])
         t0 = time.monotonic()
         prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
         prep_dt = time.monotonic() - t0
@@ -142,7 +144,7 @@ def main() -> None:
 
         core = partial(
             _analysis_core_light,
-            w8_cap=prep.w8_cap, nb=prep.nb,
+            nb=prep.nb,
             n_channels=nch, sample_rate=sr, dtype=jnp.float32,
         )
 

@@ -1018,4 +1018,49 @@ void mg_entropy_pack(const uint64_t* md_rows, const uint64_t* meta_rows,
   }
 }
 
+// Ragged variant of mg_entropy_pack: block b's words live at flat
+// word-group offset blk_off[b] (units of one (8, lanes) int32 group) in a
+// packed (g_pad, 8, lanes) buffer, with blk_w8[b] groups of capacity —
+// per-block instead of batch-max, so the device payload tracks the true
+// bitstream size instead of the heaviest granule in the batch (round-2
+// measured 226 MB shipped for 80 MB of main data). metab is uint16 (all
+// light-meta fields fit: part2_3_length <= 4095, window bit offsets <=
+// 4224); the device widens it once before the kernel.
+void mg_entropy_pack2(const uint64_t* md_rows, const uint64_t* meta_rows,
+                      int64_t n, int64_t meta_n, const int32_t* order,
+                      int64_t npad, int64_t lanes,
+                      const int32_t* blk_off, const int32_t* blk_w8,
+                      int64_t md_stride, int64_t meta_rows_out,
+                      int32_t* buf, uint16_t* metab) {
+  const int64_t nwords_src = md_stride / 4;
+  const int64_t meta_stride = meta_rows_out * lanes;
+  for (int64_t r = 0; r < npad; ++r) {
+    const int64_t b = r / lanes;
+    const int64_t l = r % lanes;
+    const int64_t src = order[r];
+    const int64_t words = blk_w8[b] * 8;
+    int32_t* bb = buf + blk_off[b] * 8 * lanes + l;
+    uint16_t* mb = metab + b * meta_stride + l;
+    if (src < n) {
+      const uint8_t* p = reinterpret_cast<const uint8_t*>(md_rows[src]);
+      const int64_t nw = words < nwords_src ? words : nwords_src;
+      for (int64_t k = 0; k < nw; ++k) {
+        const uint32_t w = (static_cast<uint32_t>(p[4 * k]) << 24) |
+                           (static_cast<uint32_t>(p[4 * k + 1]) << 16) |
+                           (static_cast<uint32_t>(p[4 * k + 2]) << 8) |
+                           static_cast<uint32_t>(p[4 * k + 3]);
+        bb[k * lanes] = static_cast<int32_t>(w);
+      }
+      for (int64_t k = nw; k < words; ++k) bb[k * lanes] = 0;
+      const int32_t* m = reinterpret_cast<const int32_t*>(meta_rows[src]);
+      for (int64_t j = 0; j < meta_n; ++j)
+        mb[j * lanes] = static_cast<uint16_t>(m[j]);
+      for (int64_t j = meta_n; j < meta_rows_out; ++j) mb[j * lanes] = 0;
+    } else {
+      for (int64_t k = 0; k < words; ++k) bb[k * lanes] = 0;
+      for (int64_t j = 0; j < meta_rows_out; ++j) mb[j * lanes] = 0;
+    }
+  }
+}
+
 }  // extern "C"

@@ -106,13 +106,13 @@ def _single_track_fn(n_channels: int, sample_rate: int, dtype):
 
 @lru_cache(maxsize=None)
 def _single_track_fn_light(n_channels: int, sample_rate: int, dtype,
-                           w8_cap: int, nb: int, interpret: bool):
+                           nb: int, interpret: bool):
     from .parallel.runner import _analysis_core_light
 
     return jax.jit(
         partial(
             _analysis_core_light,
-            w8_cap=w8_cap, nb=nb,
+            nb=nb,
             n_channels=n_channels, sample_rate=sample_rate,
             dtype=dtype, interpret=interpret,
         )
@@ -138,11 +138,15 @@ def _analyze_mp3_on_device(path, dtype):
         sr, nch = u.sample_rate, u.n_channels
         prep, rest = prepare_batch_arrays_light([u], nch)
         fn = _single_track_fn_light(
-            nch, sr, dtype, prep.w8_cap, prep.nb,
+            nch, sr, dtype, prep.nb,
             jax.default_backend() != "tpu",
         )
         hist, loud_idx, peak = fn(prep.scalars, prep.buf, prep.meta,
                                   prep.inv, *rest)
+        jax.block_until_ready((hist, loud_idx, peak))
+        from .utils import bufpool
+
+        bufpool.give(prep.buf, prep.meta, *rest[:3])
     else:
         u = frontend.unpack_file(path)
         if u.n == 0:

@@ -56,11 +56,12 @@ def _declare_pack(lib):
 
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    lib.mg_entropy_pack.restype = None
-    lib.mg_entropy_pack.argtypes = [
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.mg_entropy_pack2.restype = None
+    lib.mg_entropy_pack2.argtypes = [
         u64p, u64p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        i32p, i32p,
+        ctypes.c_int64, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        i32p, u16p,
     ]
 
 
@@ -81,10 +82,15 @@ LANES = 1024  # granule-channels per grid block
 ILV = int(os.environ.get("MP3RGAIN_ENTROPY_ILV", "1"))
 META_ROWS = 16
 MAX_STEPS = 288  # >= bvp + (576-2*bvp)/4 for all legal streams
-# Capacity classes: one compile per w8_cap (the output is always the
-# fixed (576, LANES) compacted spectrum); per-block loop bounds are
-# dynamic scalars.
-W8_CAPS = (3, 5, 7, 9, 12, 17)
+# Scratch capacity in word-groups (one group = (8, LANES) int32 = 256
+# bits/lane): 17 * 256 = 4352 bits covers the maximum legal window
+# (part2_3_length <= 4095 bits + byte-alignment slack; MD_STRIDE is 528
+# bytes = 4224 bits). The HBM stream buffer is RAGGED — per-block
+# offsets via scalar prefetch, per-block capacity from the block's own
+# heaviest lane — so w8 is no longer a compile-key dimension and the
+# transfer payload tracks the true bitstream size instead of the
+# heaviest granule in the batch.
+W8_MAX = 17
 
 
 def _cap(value, caps):
@@ -92,6 +98,17 @@ def _cap(value, caps):
         if value <= c:
             return c
     return caps[-1]
+
+
+# Ragged stream-buffer sizes are quantized to a geometric ladder so the
+# entropy-stage executable population stays small across batches; the
+# entropy stage is dispatched separately from the (much larger) analysis
+# tail, so a fresh g_pad key recompiles only the small Pallas program.
+def _quantize_g(groups: int) -> int:
+    v = 32
+    while v < groups:
+        v = -(-int(v * 1.25) // 8) * 8
+    return v
 
 
 def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
@@ -102,7 +119,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
 
     def kernel(sref, buf_ref, meta_ref, lutA_ref, lutB_ref, lutC_ref,
                lutCT_ref, gA_ref, gB_ref, gC_ref, gCT_ref, out_ref,
-               mout_ref, c_ref):
+               mout_ref, c_ref, sbuf_ref, dma_sem):
         i32 = jnp.int32
         u32 = jnp.uint32
         iota256 = lax.broadcasted_iota(i32, (256, L), 0)
@@ -115,6 +132,20 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
         row8 = lax.broadcasted_iota(i32, (8, L), 0)
 
         pid = pl.program_id(0)
+
+        # Ragged stream fetch: each block's word-groups start at a
+        # per-block offset in the packed HBM buffer (scalar prefetch
+        # column 3). The copy is the static W8_MAX groups — reads past
+        # the block's own groups land in the next block's data (or the
+        # zero tail pad) and are never dereferenced (every fetch loop is
+        # bounded by the block's dynamic nw8).
+        for _h in range(ilv):
+            _off = sref[ilv * pid + _h, 3]
+            _cp = pltpu.make_async_copy(
+                buf_ref.at[pl.ds(_off, W8_MAX)], sbuf_ref.at[_h], dma_sem
+            )
+            _cp.start()
+            _cp.wait()
 
         class Half:
             """Per-block constants for one of the interleaved blocks."""
@@ -179,7 +210,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
 
             def fetch(wg, accs):
                 a0, a1, a2 = accs
-                blk = buf_ref[hh.h, wg]  # (8, L)
+                blk = sbuf_ref[hh.h, wg]  # (8, L)
                 base = wg * 8
                 for j in range(8):
                     row = blk[j : j + 1, :]
@@ -493,7 +524,13 @@ def _luts_packed():
 
 
 @lru_cache(maxsize=None)
-def _decode_call(w8_cap: int, nb: int, interpret: bool):
+def _decode_call(nb: int, interpret: bool):
+    """Jitted entropy stage over sorted blocks: (scalars, ragged buf,
+    uint16 meta) -> (spec_b (nb, 576, LANES) int32, mout (nb, 8, LANES)).
+
+    Compile key: nb only (plus the ragged buffer length via the input
+    shape). The buffer stays in HBM; each grid step DMAs its own blocks'
+    word-groups into a VMEM scratch at a per-block dynamic offset."""
     (lutA_T, lutB_T, lutC_T, lutCT_T, gA, gB, gC, gCT,
      n_l2, n_l3) = _luts_packed()
     # Interleave ILV blocks per program when the grid divides evenly
@@ -509,8 +546,7 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
         num_scalar_prefetch=1,
         grid=(nb // ilv,),
         in_specs=[
-            pl.BlockSpec((ilv, w8_cap, 8, LANES), lambda i, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # ragged stream buffer
             pl.BlockSpec((ilv, META_ROWS, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             full(lutA_T.shape),
@@ -528,7 +564,11 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
             pl.BlockSpec((ilv, 8, LANES), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((ilv, 576, LANES), jnp.int8)],
+        scratch_shapes=[
+            pltpu.VMEM((ilv, 576, LANES), jnp.int8),
+            pltpu.VMEM((ilv, W8_MAX, 8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     call = pl.pallas_call(
         kern,
@@ -542,10 +582,38 @@ def _decode_call(w8_cap: int, nb: int, interpret: bool):
 
     @jax.jit
     def run(scalars, buf, meta):
-        return call(scalars, buf, meta, lutA_T, lutB_T, lutC_T, lutCT_T,
-                    gA, gB, gC, gCT)
+        # meta ships as uint16 (halves the h2d payload); widen once here.
+        return call(scalars, buf, meta.astype(jnp.int32),
+                    lutA_T, lutB_T, lutC_T, lutCT_T, gA, gB, gC, gCT)
 
     return run
+
+
+def decode_blocks(scalars, buf, meta, *, nb: int, interpret: bool = False):
+    """Stage 1: run the Pallas kernel over sorted blocks (no unsort).
+
+    Dispatchable as its own executable so a fresh ragged-buffer length
+    recompiles only this small program, not the analysis tail."""
+    return _decode_call(nb, interpret)(scalars, buf, meta)
+
+
+def unsort_blocks(spec_b, mout, inv, *, nb: int):
+    """Stage 2 head: mask bad lanes, unsort to input row order."""
+    npad = nb * LANES
+    # Bad lanes report c1end 0 and must read as all-zero spectra
+    # (values emitted before the stream went bad stay in the buffer).
+    ce_b = mout[:, 1:2, :]
+    i = jnp.arange(576, dtype=jnp.int32)[None, :, None]  # (1, 576, 1)
+    spec_b = jnp.where(i < ce_b, spec_b, 0)
+
+    # -> sorted (npad, .) -> unsort to input order (axis-0 row gathers,
+    # the TPU-fast gather form).
+    spec = spec_b.transpose(0, 2, 1).reshape(npad, 576)[inv]
+    mout_n = mout.transpose(0, 2, 1).reshape(npad, 8)[inv]
+    big_end = mout_n[:, 0]
+    c1end = mout_n[:, 1]
+    ok = mout_n[:, 2] == 0
+    return spec, big_end, c1end, ok
 
 
 def _estimate_steps(meta: np.ndarray) -> np.ndarray:
@@ -562,20 +630,26 @@ class PreparedEntropy:
     """Host-prepped kernel inputs for one batch of granule-channels.
 
     The numpy arrays are the exact device transfer payload; the ints are
-    the static compile keys (capacity class + grid size).
+    the static compile keys (grid size + ragged buffer length via
+    buf.shape). buf and meta come from the shared buffer pool — hand
+    them back (utils.bufpool.give) once the device transfer completes.
     """
 
-    scalars: np.ndarray  # (nb, 3) int32 [nbig, ncnt, nw8] dynamic bounds
-    buf: np.ndarray  # (nb, w8_cap, 8, LANES) int32 main-data words
-    meta: np.ndarray  # (nb, META_ROWS, LANES) int32
+    scalars: np.ndarray  # (nb, 4) int32 [nbig, ncnt, nw8, group_off]
+    buf: np.ndarray  # (g_pad, 8, LANES) int32 ragged main-data words
+    meta: np.ndarray  # (nb, META_ROWS, LANES) uint16
     inv: np.ndarray  # (npad,) unsort permutation back to input order
-    w8_cap: int
+    w8_cap: int  # scratch capacity (constant W8_MAX; kept for callers)
     nb: int
     n: int  # real (unpadded) row count
 
     @property
     def npad(self) -> int:
         return self.nb * LANES
+
+    @property
+    def g_pad(self) -> int:
+        return self.buf.shape[0]
 
 
 # nb quantization keeps the compiled-executable population small across
@@ -587,19 +661,20 @@ NB_CAPS = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384,
 
 def prepare_batch(md, meta, quantize_nb: bool = False,
                   force_nb: int | None = None,
-                  force_w8_cap: int | None = None) -> PreparedEntropy:
+                  force_g_pad: int | None = None) -> PreparedEntropy:
     """Pack per-gch Huffman windows into sorted, blocked kernel inputs.
 
     md: (N, >=bytes) uint8 main-data windows (from unpack_data_light),
     or a list of such arrays (one per track — never concatenated; the
     native packer walks per-row pointers); meta: matching (N,
-    LIGHT_META_N) int32 array or list. force_nb / force_w8_cap pin the
+    LIGHT_META_N) int32 array or list. force_nb / force_g_pad pin the
     static shapes (>= the data's requirements) so independently prepared
     shards can share one compiled executable (multi-device dispatch).
     """
     import ctypes
 
     from ..native import _lib
+    from ..utils import bufpool
 
     md_list = list(md) if isinstance(md, (list, tuple)) else [md]
     meta_list = list(meta) if isinstance(meta, (list, tuple)) else [meta]
@@ -642,17 +717,24 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
     bvp_s = bvp[order].reshape(nb, LANES)
     quads_s = quads[order].reshape(nb, LANES)
     bits_s = bits[order].reshape(nb, LANES)
+    real_s = (order < n).reshape(nb, LANES).any(axis=1)
     # Phase bounds: big pairs (multiple of 4 for the 8-row flush cadence),
     # count1 quads (multiple of 2).
     nbig_b = (bvp_s.max(axis=1) + 3) // 4 * 4
     ncnt_b = (quads_s.max(axis=1) + 1) // 2 * 2
-    # words needed: window bits + 64 slack for mid-symbol overreach
-    w8_b = np.maximum((bits_s.max(axis=1) + 64 + 255) // 256, 1)
-
-    w8_cap = _cap(int(w8_b.max()), W8_CAPS)
-    if force_w8_cap is not None:
-        assert force_w8_cap >= w8_cap, (force_w8_cap, w8_cap)
-        w8_cap = force_w8_cap
+    # words needed: window bits + 64 slack for mid-symbol overreach;
+    # capacity is PER BLOCK (lanes are sorted, so blocks are homogeneous
+    # and the per-block max tracks the mean) — all-padding blocks carry
+    # zero groups.
+    w8_b = np.where(
+        real_s, np.maximum((bits_s.max(axis=1) + 64 + 255) // 256, 1), 0
+    ).astype(np.int64)
+    blk_off = np.concatenate([[0], np.cumsum(w8_b)[:-1]]).astype(np.int32)
+    g_real = int(w8_b.sum())
+    g_pad = _quantize_g(g_real + W8_MAX)
+    if force_g_pad is not None:
+        assert force_g_pad >= g_pad, (force_g_pad, g_pad)
+        g_pad = force_g_pad
 
     # Per-row base pointers: the native packer gathers + big-endian word
     # packs + lane-transposes in one pass (numpy took ~20 s per 64x60s
@@ -671,55 +753,50 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
         )
         off += c
 
-    buf = np.empty((nb, w8_cap, 8, LANES), dtype=np.int32)
-    metab = np.empty((nb, META_ROWS, LANES), dtype=np.int32)
+    # Pooled output buffers: recycled across batches so a long scan never
+    # pays first-touch page faults (the dominant cost at 100+ MB/batch on
+    # this VM class). The packer fully overwrites every in-use region;
+    # the unwritten tail pad is never read by the kernel.
+    buf = bufpool.take((g_pad, 8, LANES), np.int32)
+    metab = bufpool.take((nb, META_ROWS, LANES), np.uint16)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    _lib.mg_entropy_pack(
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    blk_w8 = w8_b.astype(np.int32)
+    _lib.mg_entropy_pack2(
         md_rows.ctypes.data_as(u64p), meta_rows.ctypes.data_as(u64p),
         ctypes.c_int64(n), ctypes.c_int64(fe.LIGHT_META_N),
         order.ctypes.data_as(i32p), ctypes.c_int64(npad),
-        ctypes.c_int64(w8_cap), ctypes.c_int64(LANES),
+        ctypes.c_int64(LANES),
+        blk_off.ctypes.data_as(i32p), blk_w8.ctypes.data_as(i32p),
         ctypes.c_int64(md_stride), ctypes.c_int64(META_ROWS),
-        buf.ctypes.data_as(i32p), metab.ctypes.data_as(i32p),
+        buf.ctypes.data_as(i32p), metab.ctypes.data_as(u16p),
     )
 
     scalars = np.stack(
         [nbig_b.astype(np.int32), ncnt_b.astype(np.int32),
-         w8_b.astype(np.int32)], axis=1
+         blk_w8, blk_off], axis=1
     )
     return PreparedEntropy(
         scalars=scalars, buf=buf, meta=metab, inv=inv,
-        w8_cap=w8_cap, nb=nb, n=n,
+        w8_cap=W8_MAX, nb=nb, n=n,
     )
 
 
-def decode_device(scalars, buf, meta, inv, *, w8_cap: int,
-                  nb: int, interpret: bool = False):
+def decode_device(scalars, buf, meta, inv, *, nb: int,
+                  w8_cap: int = W8_MAX, interpret: bool = False):
     """Traceable device-side decode over prepared inputs.
 
     Returns (spectrum (npad, 576) int32, big_end (npad,), count1_end
     (npad,), ok (npad,) bool) in *input* order (the caller slices [:n]).
     Safe to call inside an enclosing jit — the pallas call inlines.
+    (w8_cap is accepted for caller compatibility; the scratch capacity
+    is the constant W8_MAX now that the stream buffer is ragged.)
     """
-    npad = nb * LANES
-    run = _decode_call(w8_cap, nb, interpret)
-    spec_b, mout = run(scalars, buf, meta)  # spec_b already compacted
-
-    # Bad lanes report c1end 0 and must read as all-zero spectra
-    # (values emitted before the stream went bad stay in the buffer).
-    ce_b = mout[:, 1:2, :]
-    i = jnp.arange(576, dtype=jnp.int32)[None, :, None]  # (1, 576, 1)
-    spec_b = jnp.where(i < ce_b, spec_b, 0)
-
-    # -> sorted (npad, .) -> unsort to input order (axis-0 row gathers,
-    # the TPU-fast gather form).
-    spec = spec_b.transpose(0, 2, 1).reshape(npad, 576)[inv]
-    mout_n = mout.transpose(0, 2, 1).reshape(npad, 8)[inv]
-    big_end = mout_n[:, 0]
-    c1end = mout_n[:, 1]
-    ok = mout_n[:, 2] == 0
-    return spec, big_end, c1end, ok
+    del w8_cap
+    spec_b, mout = decode_blocks(scalars, buf, meta, nb=nb,
+                                 interpret=interpret)
+    return unsort_blocks(spec_b, mout, inv, nb=nb)
 
 
 def decode_spectra(md: np.ndarray, meta: np.ndarray, *,

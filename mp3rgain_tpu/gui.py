@@ -55,6 +55,10 @@ class AppState:
     target_db: float = REPLAYGAIN_REFERENCE_DB  # 75..100 slider in the reference
     status_message: str = ""
     progress: float = 0.0
+    # Last batch ScanResult + the path set it covered: analyze_tracks
+    # followed by analyze_album must not decode the library twice.
+    _last_scan: object = field(default=None, repr=False)
+    _last_scan_paths: frozenset = field(default_factory=frozenset, repr=False)
 
     # -- file management (app.rs:65-147) ------------------------------------
 
@@ -154,11 +158,29 @@ class AppState:
     def _analyze_batch(self, album: bool, progress_cb=None) -> None:
         """Batched analysis over the device mesh (scan.scan_files):
         bucketed batching, per-file fault isolation, identical results to
-        the sequential path (same pipeline underneath)."""
+        the sequential path (same pipeline underneath). Progress advances
+        per completed file (scan_files' callback), and the ScanResult is
+        cached so analyze_tracks → analyze_album reuses it instead of
+        decoding every file twice."""
         from .scan import album_union, scan_files
 
         paths = [f.path for f in self.files]
-        scan = scan_files(paths)
+        path_set = frozenset(str(p) for p in paths)
+        if self._last_scan is not None and self._last_scan_paths == path_set:
+            scan = self._last_scan
+        else:
+            by_path = {str(f.path): f for f in self.files}
+            done = [0]
+
+            def _on_file(path):
+                done[0] += 1
+                self.progress = done[0] / max(len(paths), 1)
+                if progress_cb:
+                    progress_cb(self.progress, by_path.get(str(path)))
+
+            scan = scan_files(paths, progress_cb=_on_file)
+            self._last_scan = scan
+            self._last_scan_paths = path_set
         album_gain = None
         if album:
             _, album_gain, _ = album_union(scan, paths)
@@ -183,6 +205,7 @@ class AppState:
     # -- apply (app.rs:247-330) ----------------------------------------------
 
     def apply_gain(self, use_album: bool = False, progress_cb=None) -> int:
+        self._last_scan = None  # files change on disk; cached scan is stale
         applied = 0
         for i, entry in enumerate(self.files):
             base = entry.album_gain_db if use_album else entry.track_gain_db
@@ -210,6 +233,7 @@ class AppState:
         return applied
 
     def undo_all(self) -> int:
+        self._last_scan = None
         count = 0
         for entry in self.files:
             try:
@@ -253,66 +277,115 @@ _HELP = (
 )
 
 
+# Key codes understood by ui_loop, independent of curses so the loop is
+# drivable by tests with a fake screen (no TTY required).
+KEY_UP = -10
+KEY_DOWN = -11
+A_BOLD, A_UNDERLINE, A_REVERSE = 1, 2, 4
+
+
+def ui_loop(state: AppState, scr) -> None:
+    """The interactive event loop against a curses-like screen object.
+
+    `scr` needs: erase(), getmaxyx() -> (h, w), addnstr(y, x, s, n[,
+    attr]), refresh(), getch() -> int. The real front-end passes a curses
+    window (via _run_curses); tests pass a scripted fake. One full
+    render + one key per iteration; returns when the user quits.
+    """
+    selected = 0
+    while True:
+        scr.erase()
+        h, w = scr.getmaxyx()
+        scr.addnstr(0, 0, f"mp3rgui (TPU) — target {state.target_db:.1f} dB "
+                          f"(each step = {GAIN_STEP_DB} dB)", w - 1, A_BOLD)
+        scr.addnstr(1, 0, _HELP, w - 1)
+        header = f"{'file':30s} {'status':9s} {'vol':>6s} {'clip':4s} {'trk':>6s} {'alb':>6s} {'steps':>5s}"
+        scr.addnstr(3, 0, header, w - 1, A_UNDERLINE)
+        for i, row in enumerate(state.rows()):
+            if 4 + i >= h - 2:
+                break
+            line = (f"{row['file'][:30]:30s} {row['status']:9s} {row['volume']:>6s} "
+                    f"{row['clip']:4s} {row['track_gain']:>6s} {row['album_gain']:>6s} "
+                    f"{row['gain_steps']:>5s}")
+            attr = A_REVERSE if i == selected else 0
+            scr.addnstr(4 + i, 0, line, w - 1, attr)
+        scr.addnstr(h - 1, 0, state.status_message[: w - 1], w - 1)
+        scr.refresh()
+
+        c = scr.getch()
+        if c in (ord("q"), 27):
+            break
+        elif c == ord("a"):
+            state.status_message = "Analyzing tracks..."
+            scr.refresh()
+            state.analyze_tracks()
+            state.status_message = "Track analysis done"
+        elif c == ord("A"):
+            state.status_message = "Analyzing album..."
+            scr.refresh()
+            state.analyze_album()
+            state.status_message = "Album analysis done"
+        elif c == ord("g"):
+            n = state.apply_gain(use_album=False)
+            state.status_message = f"Applied track gain to {n} file(s)"
+        elif c == ord("G"):
+            n = state.apply_gain(use_album=True)
+            state.status_message = f"Applied album gain to {n} file(s)"
+        elif c == ord("u"):
+            n = state.undo_all()
+            state.status_message = f"Undid {n} file(s)"
+        elif c in (ord("+"), ord("=")):
+            state.target_db = min(100.0, state.target_db + 0.5)
+        elif c == ord("-"):
+            state.target_db = max(75.0, state.target_db - 0.5)
+        elif c == ord("d") and state.files:
+            state.remove_selected([selected])
+            selected = max(0, min(selected, len(state.files) - 1))
+        elif c == KEY_UP:
+            selected = max(0, selected - 1)
+        elif c == KEY_DOWN:
+            selected = min(len(state.files) - 1, selected + 1)
+
+
+class _CursesScreen:  # pragma: no cover - needs a real TTY
+    """Adapter mapping ui_loop's screen protocol onto a curses window."""
+
+    def __init__(self, win, curses_mod):
+        self._win = win
+        self._curses = curses_mod
+        self._attr = {
+            A_BOLD: curses_mod.A_BOLD,
+            A_UNDERLINE: curses_mod.A_UNDERLINE,
+            A_REVERSE: curses_mod.A_REVERSE,
+        }
+
+    def erase(self):
+        self._win.erase()
+
+    def getmaxyx(self):
+        return self._win.getmaxyx()
+
+    def addnstr(self, y, x, s, n, attr=0):
+        self._win.addnstr(y, x, s, n, self._attr.get(attr, 0))
+
+    def refresh(self):
+        self._win.refresh()
+
+    def getch(self):
+        c = self._win.getch()
+        if c == self._curses.KEY_UP:
+            return KEY_UP
+        if c == self._curses.KEY_DOWN:
+            return KEY_DOWN
+        return c
+
+
 def _run_curses(state: AppState) -> None:  # pragma: no cover - interactive
     import curses
 
     def main(scr):
         curses.curs_set(0)
-        selected = 0
-        while True:
-            scr.erase()
-            h, w = scr.getmaxyx()
-            scr.addnstr(0, 0, f"mp3rgui (TPU) — target {state.target_db:.1f} dB "
-                              f"(each step = {GAIN_STEP_DB} dB)", w - 1, curses.A_BOLD)
-            scr.addnstr(1, 0, _HELP, w - 1)
-            header = f"{'file':30s} {'status':9s} {'vol':>6s} {'clip':4s} {'trk':>6s} {'alb':>6s} {'steps':>5s}"
-            scr.addnstr(3, 0, header, w - 1, curses.A_UNDERLINE)
-            for i, row in enumerate(state.rows()):
-                if 4 + i >= h - 2:
-                    break
-                line = (f"{row['file'][:30]:30s} {row['status']:9s} {row['volume']:>6s} "
-                        f"{row['clip']:4s} {row['track_gain']:>6s} {row['album_gain']:>6s} "
-                        f"{row['gain_steps']:>5s}")
-                attr = curses.A_REVERSE if i == selected else 0
-                scr.addnstr(4 + i, 0, line, w - 1, attr)
-            scr.addnstr(h - 1, 0, state.status_message[: w - 1], w - 1)
-            scr.refresh()
-
-            c = scr.getch()
-            if c in (ord("q"), 27):
-                break
-            elif c == ord("a"):
-                state.status_message = "Analyzing tracks..."
-                scr.refresh()
-                state.analyze_tracks()
-                state.status_message = "Track analysis done"
-            elif c == ord("A"):
-                state.status_message = "Analyzing album..."
-                scr.refresh()
-                state.analyze_album()
-                state.status_message = "Album analysis done"
-            elif c == ord("g"):
-                n = state.apply_gain(use_album=False)
-                state.status_message = f"Applied track gain to {n} file(s)"
-            elif c == ord("G"):
-                n = state.apply_gain(use_album=True)
-                state.status_message = f"Applied album gain to {n} file(s)"
-            elif c == ord("u"):
-                n = state.undo_all()
-                state.status_message = f"Undid {n} file(s)"
-            elif c in (ord("+"), ord("=")):
-                state.target_db = min(100.0, state.target_db + 0.5)
-            elif c == ord("-"):
-                state.target_db = max(75.0, state.target_db - 0.5)
-            elif c == ord("d") and state.files:
-                state.remove_selected([selected])
-                selected = max(0, min(selected, len(state.files) - 1))
-            elif c == curses.KEY_UP:
-                selected = max(0, selected - 1)
-            elif c == curses.KEY_DOWN:
-                selected = min(len(state.files) - 1, selected + 1)
-
-    import curses
+        ui_loop(state, _CursesScreen(scr, curses))
 
     curses.wrapper(main)
 

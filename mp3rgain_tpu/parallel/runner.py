@@ -105,6 +105,7 @@ def _analysis_tail(spectrum, scf, info, valid_samples,
     """Shared device pipeline tail: full (B, G, 576) spectra → results."""
     from ..decode.format_tables import SR_ROW
 
+    info = info.astype(jnp.int32)  # light path ships uint16 (h2d halved)
     fields = _derive_fields(spectrum, scf, info, n_channels=n_channels)
     sr_row = SR_ROW[sample_rate]
 
@@ -142,25 +143,16 @@ def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
     )
 
 
-def _analysis_core_light(scalars, buf, metab, inv, rowmap, scf, info,
-                         valid_samples, *, w8_cap: int,
-                         nb: int, n_channels: int, sample_rate: int,
-                         dtype, interpret: bool = False):
-    """Raw-bits batched pipeline: device entropy decode + analysis tail.
+def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
+                *, nb: int, n_channels: int, sample_rate: int, dtype):
+    """Raw-bits pipeline tail: sorted kernel outputs → analysis results.
 
-    The host→device manifest is the raw main-data words (decode/
-    entropy_kernel.PreparedEntropy) — ~4x smaller than decoded spectra —
-    plus rowmap (B, G) int32 mapping padded track-granule slots to kernel
-    output rows (npad = dummy/empty slot). The whole thing traces into ONE
-    device dispatch: Pallas Huffman decode → gather into (B, G, 576) →
-    synthesis → equal-loudness IIR → loudness histogram.
-    """
+    Dispatched as its own executable in production (dispatch_light): the
+    entropy stage's ragged-buffer length then only keys the small Pallas
+    program, not this (much larger) synthesis+IIR+histogram graph."""
     from ..decode import entropy_kernel as ek
 
-    spec, big_end, c1end, _ok = ek.decode_device(
-        scalars, buf, metab, inv,
-        w8_cap=w8_cap, nb=nb, interpret=interpret,
-    )
+    spec, big_end, c1end, _ok = ek.unsort_blocks(spec_b, mout, inv, nb=nb)
     # Row npad is the dummy target for padding slots.
     zrow = jnp.zeros((1, 576), spec.dtype)
     spec = jnp.concatenate([spec, zrow], axis=0)
@@ -169,11 +161,36 @@ def _analysis_core_light(scalars, buf, metab, inv, rowmap, scf, info,
     c1end = jnp.concatenate([c1end, zs])
 
     spectrum = spec[rowmap]  # (B, G, 576) row gather
+    info = info.astype(jnp.int32)
     info = info.at[..., fe.BIG_END].set(big_end[rowmap])
     info = info.at[..., fe.COUNT1_END].set(c1end[rowmap])
     return _analysis_tail(
         spectrum, scf, info, valid_samples,
         n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+    )
+
+
+def _analysis_core_light(scalars, buf, metab, inv, rowmap, scf, info,
+                         valid_samples, *,
+                         nb: int, n_channels: int, sample_rate: int,
+                         dtype, interpret: bool = False):
+    """Raw-bits batched pipeline: device entropy decode + analysis tail.
+
+    The host→device manifest is the raw main-data words (decode/
+    entropy_kernel.PreparedEntropy) — packed to the true bitstream size —
+    plus rowmap (B, G) int32 mapping padded track-granule slots to kernel
+    output rows (npad = dummy/empty slot). The whole thing traces into ONE
+    device dispatch: Pallas Huffman decode → gather into (B, G, 576) →
+    synthesis → equal-loudness IIR → loudness histogram. (Production
+    single-device dispatch splits the two stages — see dispatch_light.)
+    """
+    from ..decode import entropy_kernel as ek
+
+    spec_b, mout = ek.decode_blocks(scalars, buf, metab, nb=nb,
+                                    interpret=interpret)
+    return _light_tail(
+        spec_b, mout, inv, rowmap, scf, info, valid_samples,
+        nb=nb, n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
     )
 
 
@@ -263,9 +280,12 @@ def prepare_batch_arrays_light(
     Returns (prep: PreparedEntropy, (rowmap, scf, info, valid_samples)).
     rowmap maps (track, granule-slot) → kernel output row; empty padding
     slots map to prep.npad (the dummy zero row appended on device).
-    force_shapes = (bpad, g_max, nb, w8_cap) pins all static shapes so
-    independently prepared shards share one executable."""
+    force_shapes = (bpad, g_max, nb, g_pad) pins all static shapes so
+    independently prepared shards share one executable. The big arrays
+    (buf, meta, rowmap, scf, info) come from the shared buffer pool —
+    dispatchers hand them back once the h2d transfer has committed."""
     from ..decode import entropy_kernel as ek
+    from ..utils import bufpool
 
     bsz = len(unpacked)
     g_max = max(u.n for u in unpacked)
@@ -273,22 +293,23 @@ def prepare_batch_arrays_light(
     g_max = _quantize_up(g_max, unit, base=512, ratio=1.3)
     bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
     bpad = -(-bpad // pad_batch_to) * pad_batch_to
-    force_nb = force_w8 = None
+    force_nb = force_g = None
     if force_shapes is not None:
-        bpad, g_max, force_nb, force_w8 = force_shapes
+        bpad, g_max, force_nb, force_g = force_shapes
 
     prep = ek.prepare_batch(
         [u.md for u in unpacked], [u.meta for u in unpacked],
-        quantize_nb=True, force_nb=force_nb, force_w8_cap=force_w8,
+        quantize_nb=True, force_nb=force_nb, force_g_pad=force_g,
     )
 
-    rowmap = np.full((bpad, g_max), prep.npad, dtype=np.int32)
-    info = np.zeros((bpad, g_max, fe.INFO_N), dtype=np.int32)
-    scf = np.zeros((bpad, g_max, fe.SCF_SLOTS), dtype=np.int8)
+    rowmap = bufpool.take((bpad, g_max), np.int32)
+    rowmap.fill(prep.npad)
+    info = bufpool.take_zeroed((bpad, g_max, fe.INFO_N), np.uint16)
+    scf = bufpool.take_zeroed((bpad, g_max, fe.SCF_SLOTS), np.int8)
     off = 0
     for i, u in enumerate(unpacked):
         rowmap[i, : u.n] = np.arange(off, off + u.n, dtype=np.int32)
-        info[i, : u.n] = u.info
+        info[i, : u.n] = u.info  # all info fields fit uint16 (max 48000)
         scf[i, : u.n] = u.scf
         off += u.n
     valid_samples = np.array(
@@ -312,20 +333,23 @@ def prepare_batch_arrays_light_sharded(
     assert all(shard_index), "need at least one track per shard"
     shards = [[unpacked[i] for i in idxs] for idxs in shard_index]
 
+    from ..utils import bufpool
+
     first = [
         prepare_batch_arrays_light(s, n_channels) for s in shards
     ]
     bpad = max(r[1][0].shape[0] for r in first)
     g_max = max(r[1][0].shape[1] for r in first)
     nb = max(r[0].nb for r in first)
-    w8 = max(r[0].w8_cap for r in first)
+    g_pad = max(r[0].g_pad for r in first)
     results = []
     for s, r in zip(shards, first):
         prep, rest = r
         if (rest[0].shape != (bpad, g_max) or prep.nb != nb
-                or prep.w8_cap != w8):
+                or prep.g_pad != g_pad):
+            bufpool.give(prep.buf, prep.meta, *rest[:3])
             prep, rest = prepare_batch_arrays_light(
-                s, n_channels, force_shapes=(bpad, g_max, nb, w8)
+                s, n_channels, force_shapes=(bpad, g_max, nb, g_pad)
             )
         results.append((prep, rest))
 
@@ -342,7 +366,9 @@ def prepare_batch_arrays_light_sharded(
         stack(lambda p, r: r[2]),
         stack(lambda p, r: r[3]),
     )
-    return args, (nb, w8), shard_index
+    for p, r in results:
+        bufpool.give(p.buf, p.meta, *r[:3])
+    return args, nb, shard_index
 
 
 # ---------------------------------------------------------------------------
@@ -386,13 +412,23 @@ def _single_device_pipeline(n_channels: int, sample_rate: int, dtype):
 
 
 @lru_cache(maxsize=None)
-def _light_pipeline(n_channels: int, sample_rate: int, w8_cap: int,
+def _light_pipeline(n_channels: int, sample_rate: int,
                     nb: int, dtype, interpret: bool):
     core = partial(
         _analysis_core_light,
-        w8_cap=w8_cap, nb=nb,
+        nb=nb,
         n_channels=n_channels, sample_rate=sample_rate,
         dtype=dtype, interpret=interpret,
+    )
+    return jax.jit(core)
+
+
+@lru_cache(maxsize=None)
+def _light_tail_pipeline(n_channels: int, sample_rate: int, nb: int, dtype):
+    core = partial(
+        _light_tail,
+        nb=nb,
+        n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
     )
     return jax.jit(core)
 
@@ -443,28 +479,27 @@ class MeshRunner:
         self._jitted[key] = run
         return run
 
-    def _pipeline_light(self, n_channels: int, sample_rate: int,
-                        w8_cap: int, nb: int):
+    def _pipeline_light(self, n_channels: int, sample_rate: int, nb: int):
         """Raw-bits pipeline (device entropy decode). Single-device only:
         the Pallas grid already spans the whole batch; data parallelism
         over a mesh keeps the host-decoded path (analyze_unpacked)."""
         interpret = jax.default_backend() != "tpu"
         return _light_pipeline(
-            n_channels, sample_rate, w8_cap, nb, self.dtype, interpret
+            n_channels, sample_rate, nb, self.dtype, interpret
         )
 
     def _pipeline_light_sharded(self, n_channels: int, sample_rate: int,
-                                w8_cap: int, nb: int):
+                                nb: int):
         """Raw-bits pipeline over the dp mesh: each device runs its own
         Pallas entropy grid + analysis tail on its shard (cached per
         instance — the mesh is part of the closure)."""
         interpret = jax.default_backend() != "tpu"
-        key = ("light-sh", n_channels, sample_rate, w8_cap, nb, interpret)
+        key = ("light-sh", n_channels, sample_rate, nb, interpret)
         if key in self._jitted:
             return self._jitted[key]
         core = partial(
             _analysis_core_light,
-            w8_cap=w8_cap, nb=nb,
+            nb=nb,
             n_channels=n_channels, sample_rate=sample_rate,
             dtype=self.dtype, interpret=interpret,
         )
@@ -497,12 +532,12 @@ class MeshRunner:
         """Enqueue a raw-bits batch sharded over the dp mesh."""
         if len(unpacked) < self.n_devices:
             return self.dispatch_light(unpacked, sample_rate, n_channels)
-        args, (nb, w8), shard_index = prepare_batch_arrays_light_sharded(
+        args, nb, shard_index = prepare_batch_arrays_light_sharded(
             unpacked, n_channels, self.n_devices
         )
         sharding = NamedSharding(self.mesh, P("dp"))
         dev_args = [jax.device_put(a, sharding) for a in args]
-        run = self._pipeline_light_sharded(n_channels, sample_rate, w8, nb)
+        run = self._pipeline_light_sharded(n_channels, sample_rate, nb)
         hist, loud_idx, peak = run(*dev_args)  # (D, B, ...)
         return ("sharded", hist, loud_idx, peak, shard_index,
                 len(unpacked))
@@ -514,19 +549,31 @@ class MeshRunner:
         """Enqueue a raw-bits batch; returns a handle for collect().
 
         Dispatch is async: the host is free to unpack/pack the next batch
-        while the chip works this one."""
+        while the chip works this one. Two device dispatches: the entropy
+        stage (keyed by nb + ragged buffer length — small, fast to
+        compile) feeds the analysis tail (keyed by nb/B/G only) through
+        device-resident intermediates. Pooled host buffers are recycled
+        once their transfers commit."""
+        from ..decode import entropy_kernel as ek
+        from ..utils import bufpool
+
         bsz = len(unpacked)
+        interpret = jax.default_backend() != "tpu"
         prep, (rowmap, scf, info, valid) = prepare_batch_arrays_light(
             unpacked, n_channels, 1
         )
-        dev_args = jax.device_put(
-            (prep.scalars, prep.buf, prep.meta, prep.inv,
-             rowmap, scf, info, valid)
-        )
-        run = self._pipeline_light(
-            n_channels, sample_rate, prep.w8_cap, prep.nb
-        )
-        hist, loud_idx, peak = run(*dev_args)
+        dev1 = jax.device_put((prep.scalars, prep.buf, prep.meta))
+        spec_b, mout = ek.decode_blocks(*dev1, nb=prep.nb,
+                                        interpret=interpret)
+        dev2 = jax.device_put((prep.inv, rowmap, scf, info, valid))
+        tail = _light_tail_pipeline(n_channels, sample_rate, prep.nb,
+                                    self.dtype)
+        hist, loud_idx, peak = tail(spec_b, mout, *dev2)
+        # Transfers have materialized on device once the inputs are
+        # ready; the pooled host buffers are then safe to recycle.
+        jax.block_until_ready(dev1)
+        jax.block_until_ready(dev2)
+        bufpool.give(prep.buf, prep.meta, rowmap, scf, info)
         return (hist, loud_idx, peak, bsz)
 
     def collect(self, handle):
@@ -702,8 +749,8 @@ def analyze_library(
         dispatch = runner.dispatch_light
 
     def collect_one():
-        handle, idxs, sr = inflight.pop(0)
-        hist_dev, louds, peaks = runner.collect(handle)
+        fut, idxs, sr = inflight.pop(0)
+        hist_dev, louds, peaks = runner.collect(fut.result())
         if album:
             batch_sum = jnp.sum(hist_dev, axis=0)
             album_state["hist"] = (
@@ -729,45 +776,52 @@ def analyze_library(
         if batch_cb:
             batch_cb(done)
 
+    # The pack + h2d + launch of batch k+1 runs on a dedicated uploader
+    # thread while the device computes batch k (and while the main thread
+    # walks the next wave of files — the native unpack drops the GIL).
+    # Two batches stay in flight: one uploading, one computing.
+    uploader = ThreadPoolExecutor(max_workers=1)
+
     def flush_bucket(key, members):
         sr, nch = key
         idxs = [i for i, _ in members]
         ups = [u for _, u in members]
-        # One batch behind: collect the previous dispatch only after
-        # enqueuing this one, so the chip never idles on host packing.
-        inflight.append((dispatch(ups, sr, nch), idxs, sr))
-        while len(inflight) > 1:
+        inflight.append((uploader.submit(dispatch, ups, sr, nch), idxs, sr))
+        while len(inflight) > 2:
             collect_one()
 
     paths = list(paths)
     workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)
-    for wstart in range(0, len(paths), wave_size):
-        wave = paths[wstart : wstart + wave_size]
-        if workers > 1 and len(wave) > 1:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                unpacked = list(
-                    pool.map(lambda p: _result_of(_unpack, p), wave)
-                )
-        else:
-            unpacked = [_result_of(_unpack, p) for p in wave]
+    try:
+        for wstart in range(0, len(paths), wave_size):
+            wave = paths[wstart : wstart + wave_size]
+            if workers > 1 and len(wave) > 1:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    unpacked = list(
+                        pool.map(lambda p: _result_of(_unpack, p), wave)
+                    )
+            else:
+                unpacked = [_result_of(_unpack, p) for p in wave]
 
-        for i, (path, (u, err)) in enumerate(zip(wave, unpacked), wstart):
-            if err is not None:
-                outcomes[i] = TrackOutcome(path=str(path), ok=False, error=err)
-                continue
-            sr, nch = u.sample_rate, u.n_channels
-            members = buckets.setdefault((sr, nch), [])
-            members.append((i, u))
-            audio_seconds += (u.n // nch) * 576 / sr
-            if len(members) >= runner.max_batch:
-                flush_bucket((sr, nch), members)
-                buckets[(sr, nch)] = []
+            for i, (path, (u, err)) in enumerate(zip(wave, unpacked), wstart):
+                if err is not None:
+                    outcomes[i] = TrackOutcome(path=str(path), ok=False, error=err)
+                    continue
+                sr, nch = u.sample_rate, u.n_channels
+                members = buckets.setdefault((sr, nch), [])
+                members.append((i, u))
+                audio_seconds += (u.n // nch) * 576 / sr
+                if len(members) >= runner.max_batch:
+                    flush_bucket((sr, nch), members)
+                    buckets[(sr, nch)] = []
 
-    for key, members in buckets.items():
-        if members:
-            flush_bucket(key, members)
-    while inflight:
-        collect_one()
+        for key, members in buckets.items():
+            if members:
+                flush_bucket(key, members)
+        while inflight:
+            collect_one()
+    finally:
+        uploader.shutdown(wait=True)
 
     tracks = [outcomes[i] for i in range(len(paths))]
     result = BatchResult(

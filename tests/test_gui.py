@@ -111,6 +111,123 @@ def test_batch_analysis_matches_sequential(fixtures_dir, tmp_path):
     assert len(gains) == 1 and None not in gains
 
 
+class FakeScreen:
+    """Scripted stand-in for a curses window (ui_loop's screen protocol)."""
+
+    def __init__(self, keys, h=24, w=100):
+        self.keys = [ord(k) if isinstance(k, str) else k for k in keys]
+        self.h, self.w = h, w
+        self.cells = []  # (y, x, text, attr) of the CURRENT frame
+        self.frames = []  # all completed frames
+        self.refreshes = 0
+
+    def erase(self):
+        if self.cells:
+            self.frames.append(self.cells)
+        self.cells = []
+
+    def getmaxyx(self):
+        return self.h, self.w
+
+    def addnstr(self, y, x, s, n, attr=0):
+        self.cells.append((y, x, s[:n], attr))
+
+    def refresh(self):
+        self.refreshes += 1
+
+    def getch(self):
+        return self.keys.pop(0) if self.keys else ord("q")
+
+    def text(self):
+        return "\n".join(c[2] for c in self.cells)
+
+
+def test_ui_loop_renders_and_quits(state):
+    from mp3rgain_tpu import gui
+
+    scr = FakeScreen(["q"])
+    gui.ui_loop(state, scr)
+    out = scr.text()
+    assert "mp3rgui (TPU)" in out
+    assert "test_mono.mp3" in out and "test_joint_stereo.mp3" in out
+    assert scr.refreshes >= 1
+
+
+def test_ui_loop_analyze_apply_undo(state):
+    from mp3rgain_tpu import gui
+
+    originals = {f.path: f.path.read_bytes() for f in state.files}
+    scr = FakeScreen(["a", "g", "q"])
+    gui.ui_loop(state, scr)
+    assert state.status_message.startswith("Applied track gain")
+    assert all(f.status == "applied" for f in state.files)
+    changed = [f for f in state.files if f.path.read_bytes() != originals[f.path]]
+    assert changed
+
+    scr = FakeScreen(["u", "q"])
+    gui.ui_loop(state, scr)
+    assert state.status_message == f"Undid {len(changed)} file(s)"
+    for f in state.files:
+        assert f.path.read_bytes() == originals[f.path]
+
+
+def test_ui_loop_target_and_selection_keys(state):
+    from mp3rgain_tpu import gui
+
+    t0 = state.target_db
+    scr = FakeScreen(["+", "+", "-", gui.KEY_DOWN, "d", "q"])
+    gui.ui_loop(state, scr)
+    assert state.target_db == pytest.approx(t0 + 0.5)
+    assert len(state.files) == 1  # KEY_DOWN then 'd' removed row 1
+    assert state.files[0].name == "test_joint_stereo.mp3"
+    # The selected row renders with the reverse attribute.
+    last = scr.frames[-1] if scr.frames else scr.cells
+    reversed_rows = [c for c in last if c[3] == gui.A_REVERSE]
+    assert len(reversed_rows) == 1
+
+
+def test_batch_progress_is_incremental_and_scan_reused(fixtures_dir, tmp_path, monkeypatch):
+    """ADVICE round-2: batch analysis must report per-file progress, and
+    analyze_tracks -> analyze_album must not re-decode the library."""
+    from mp3rgain_tpu import gui as gui_mod
+    from mp3rgain_tpu import scan as scan_mod
+    from mp3rgain_tpu.scan import BATCH_THRESHOLD
+
+    paths = []
+    for i in range(BATCH_THRESHOLD):
+        p = tmp_path / f"t{i:02d}.mp3"
+        shutil.copy(fixtures_dir / "test_mono.mp3", p)
+        paths.append(p)
+
+    calls = {"n": 0}
+    real_scan_files = scan_mod.scan_files
+
+    def counting_scan_files(*a, **kw):
+        calls["n"] += 1
+        return real_scan_files(*a, **kw)
+
+    monkeypatch.setattr(scan_mod, "scan_files", counting_scan_files)
+
+    s = gui_mod.AppState()
+    s.add_files(paths)
+    seen = []
+    s.analyze_tracks(progress_cb=lambda p, entry: seen.append((p, entry)))
+    assert calls["n"] == 1
+    # Incremental per-file updates, strictly increasing up to 1.0.
+    progresses = [p for p, _ in seen]
+    assert len(progresses) == BATCH_THRESHOLD
+    assert progresses == sorted(progresses) and progresses[-1] == pytest.approx(1.0)
+    assert all(e is not None for _, e in seen)
+
+    s.analyze_album()  # must reuse the cached ScanResult
+    assert calls["n"] == 1
+    assert all(f.album_gain_db is not None for f in s.files)
+
+    s.apply_gain()  # invalidates the cache (files changed on disk)
+    s.analyze_tracks()
+    assert calls["n"] == 2
+
+
 def test_batch_analysis_isolates_bad_files(fixtures_dir, tmp_path):
     from mp3rgain_tpu.scan import BATCH_THRESHOLD
 

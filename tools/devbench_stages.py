@@ -114,7 +114,7 @@ def main():
 
     from functools import partial
 
-    full = partial(rn._analysis_core_light, w8_cap=w8_cap, nb=nb,
+    full = partial(rn._analysis_core_light, nb=nb,
                    n_channels=nch, sample_rate=sr, dtype=jnp.float32)
 
     def full_fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
