@@ -124,8 +124,15 @@ def main() -> None:
         # actually pays per batch — no first-touch page faults).
         from mp3rgain_tpu.utils import bufpool
 
-        prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
-        bufpool.give(prep.buf, prep.meta, *rest[:3])
+        # Two warm-up rounds: round 1 faults the pooled buffers' pages,
+        # round 2 lets glibc's dynamic mmap threshold adapt for the
+        # non-pooled temporaries. Round 3+ is what a scan pays per batch.
+        for _ in range(2):
+            prep, rest = prepare_batch_arrays_light(
+                [u_light] * BATCH_TRACKS, nch, 1
+            )
+            bufpool.give(prep.buf, prep.meta, *rest[:3])
+            del prep, rest
         t0 = time.monotonic()
         prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
         prep_dt = time.monotonic() - t0
@@ -153,7 +160,9 @@ def main() -> None:
             # Perturb downstream of nothing: info feeds the tail, but the
             # whole pipeline is one executable, so every layer (incl. the
             # Pallas entropy stage) re-executes for each distinct input.
-            info = info.at[..., fe.GLOBAL_GAIN].add(bump % 3)
+            info = info.at[..., fe.GLOBAL_GAIN].add(
+                (bump % 3).astype(info.dtype)
+            )
             return core(scalars, buf, metab, inv, rowmap, scf, info, valid)
 
         fn = jax.jit(perturbed)
@@ -198,8 +207,19 @@ def main() -> None:
     )
     e2e = audio_seconds / (wall + h2d_dt + host_share)
     print(
-        f"end-to-end (this runner: 1 host core, tunnel h2d): "
+        f"end-to-end serial (this runner: 1 host core, tunnel h2d): "
         f"{e2e:.0f}x real-time",
+        file=sys.stderr, flush=True,
+    )
+    # The production scan pipelines the stages (analyze_library: main
+    # thread walks+packs batch k+1 while the uploader thread transfers
+    # and the chip computes batch k), so steady-state scan throughput is
+    # bounded by the slowest stage, not their sum.
+    bottleneck = max(wall, h2d_dt, host_share)
+    print(
+        f"end-to-end pipelined (max of stages: host {host_share:.2f}s, "
+        f"h2d {h2d_dt:.2f}s, chip {wall:.2f}s): "
+        f"{audio_seconds / bottleneck:.0f}x real-time",
         file=sys.stderr, flush=True,
     )
 

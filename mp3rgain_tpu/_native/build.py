@@ -51,7 +51,10 @@ def is_stale() -> bool:
 def build(force: bool = False) -> str:
     if not force and not is_stale():
         return SO_PATH
-    cmd = ["g++", *CXXFLAGS, "-o", SO_PATH, *_sources()]
+    # CXXFLAGS_EXTRA hook: sanitizer builds for parser fuzzing
+    # (docs/security.md), e.g. CXXFLAGS_EXTRA="-fsanitize=address -g".
+    extra = os.environ.get("CXXFLAGS_EXTRA", "").split()
+    cmd = ["g++", *CXXFLAGS, *extra, "-o", SO_PATH, *_sources()]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(

@@ -370,6 +370,34 @@ _JSON_FIELD_ORDER = [
 ]
 
 
+# Sample rates whose published equal-loudness coefficient table row is
+# numerically degenerate (loudness collapses to the histogram floor).
+# The reference inherits the same 88200 Hz row and silently reports a
+# bogus gain (NOTES.md round-1 #6); we keep the numeric parity but warn.
+DEGENERATE_ANALYSIS_RATES = frozenset({88200})
+
+
+def _degenerate_rate_warning(result, filename: str) -> str | None:
+    """Warn (stderr) when analysis ran at a degenerate filter rate.
+
+    Returns the warning string for the JSON `warning` field, or None."""
+    sr = getattr(result, "sample_rate", None)
+    if sr not in DEGENERATE_ANALYSIS_RATES:
+        return None
+    msg = (
+        f"{filename}: ReplayGain analysis at {sr} Hz is unreliable — the "
+        f"standard equal-loudness filter table is numerically degenerate "
+        f"at this rate (all mp3gain-family implementations share this); "
+        f"resample before trusting the gain"
+    )
+    _warn(msg)
+    return f"analysis at {sr} Hz is degenerate; gain unreliable"
+
+
+def _merge_warning(existing: str | None, new: str) -> str:
+    return f"{existing}; {new}" if existing else new
+
+
 def file_result(**kw) -> dict:
     """Ordered JSON file-result record with None fields omitted
     (reference JsonFileResult, src/main.rs:111-148)."""
@@ -930,6 +958,9 @@ def cmd_album_gain(files: list[Path], opts: Options) -> int:
             _err(f"Failed to analyze album: {e}")
         raise SystemExit(1)
 
+    for f, tr in zip(files, album_result.tracks):
+        _degenerate_rate_warning(tr, get_filename(f))
+
     modified_gain_steps = album_result.album_gain_steps() + opts.gain_modifier
 
     if opts.output_format == OutputFormat.TEXT and not opts.quiet:
@@ -1244,6 +1275,7 @@ def process_track_gain(f: Path, opts: Options, precomputed=None) -> dict:
             print(f"  {colorize('x', Color.RED, stream=sys.stderr)} {filename} - {e}", file=sys.stderr)
         return file_result(file=str(f), status="error", error=str(e))
 
+    rate_warning = _degenerate_rate_warning(result, filename)
     base_steps = result.gain_steps()
     modified_steps = base_steps + opts.gain_modifier
 
@@ -1259,12 +1291,15 @@ def process_track_gain(f: Path, opts: Options, precomputed=None) -> dict:
         return file_result(
             file=str(f), status="skipped", loudness_db=result.loudness_db,
             peak=result.peak, gain_applied_steps=0, gain_applied_db=0.0,
+            warning=rate_warning,
         )
 
-    return process_apply_replaygain(f, modified_steps, result, opts, None)
+    return process_apply_replaygain(f, modified_steps, result, opts, None,
+                                    extra_warning=rate_warning)
 
 
-def process_apply_replaygain(f: Path, steps: int, result, opts: Options, album_info) -> dict:
+def process_apply_replaygain(f: Path, steps: int, result, opts: Options, album_info,
+                             extra_warning: str | None = None) -> dict:
     """Apply a ReplayGain-derived step count with decoded-peak clipping
     semantics (main.rs:2012-2170); AAC files get tags only (main.rs:2108-2119)."""
     filename = get_filename(f)
@@ -1272,7 +1307,7 @@ def process_apply_replaygain(f: Path, steps: int, result, opts: Options, album_i
     original_mtime = _saved_mtime(f, opts)
 
     actual_steps = steps
-    warning_msg = None
+    warning_msg = extra_warning
     if steps > 0 and not opts.wrap_gain:
         gain_linear = 10.0 ** (result.gain_db / 20.0)
         new_peak = result.peak * gain_linear
@@ -1286,7 +1321,7 @@ def process_apply_replaygain(f: Path, steps: int, result, opts: Options, album_i
                         f"  {colorize('!', Color.YELLOW, stream=sys.stderr)} {dry_run_prefix}{filename} - gain reduced from {steps} to {actual_steps} steps to prevent clipping (peak: {result.peak:.4f})",
                         file=sys.stderr,
                     )
-                warning_msg = f"gain reduced from {steps} to {actual_steps} steps to prevent clipping (peak: {result.peak:.4f})"
+                warning_msg = _merge_warning(warning_msg, f"gain reduced from {steps} to {actual_steps} steps to prevent clipping (peak: {result.peak:.4f})")
             elif not opts.ignore_clipping and not opts.quiet:
                 if opts.output_format == OutputFormat.TEXT:
                     print(
@@ -1294,7 +1329,7 @@ def process_apply_replaygain(f: Path, steps: int, result, opts: Options, album_i
                         file=sys.stderr,
                     )
                     print("      Use -c to ignore clipping warnings or -k to prevent clipping", file=sys.stderr)
-                warning_msg = f"clipping warning: peak would be {new_peak:.2f} (>1.00)"
+                warning_msg = _merge_warning(warning_msg, f"clipping warning: peak would be {new_peak:.2f} (>1.00)")
 
     if opts.dry_run:
         if opts.output_format == OutputFormat.TEXT and not opts.quiet:

@@ -709,8 +709,11 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
         est[off : off + c] = np.minimum(b + qd, MAX_STEPS)
         bits[off : off + c] = m[:, fe.LM_P0].astype(np.int64) + p23
         off += c
-    # Sort lanes by estimated steps so each block's dynamic bound is tight.
-    order = np.argsort(est, kind="stable").astype(np.int32)
+    # Sort lanes by estimated steps so each block's dynamic bound is
+    # tight; tie-break by window bits so each block's ragged capacity is
+    # tight too (measured: -14% stream-buffer bytes at identical step
+    # bounds on the 64x60s bench batch).
+    order = np.lexsort((bits, est)).astype(np.int32)
     inv = np.empty(npad, dtype=np.int32)
     inv[order] = np.arange(npad, dtype=np.int32)
 

@@ -166,7 +166,9 @@ class AppState:
 
         paths = [f.path for f in self.files]
         path_set = frozenset(str(p) for p in paths)
-        if self._last_scan is not None and self._last_scan_paths == path_set:
+        reused = (self._last_scan is not None
+                  and self._last_scan_paths == path_set)
+        if reused:
             scan = self._last_scan
         else:
             by_path = {str(f.path): f for f in self.files}
@@ -199,7 +201,10 @@ class AppState:
                 entry.error = None
             self._update_clipping(entry)
             self.progress = (i + 1) / max(len(self.files), 1)
-            if progress_cb:
+            # Per-file progress was already streamed from scan_files'
+            # callback during a fresh scan; only a cache-served pass
+            # reports from this (instant) loop.
+            if progress_cb and reused:
                 progress_cb(self.progress, entry)
 
     # -- apply (app.rs:247-330) ----------------------------------------------

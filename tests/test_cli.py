@@ -233,3 +233,33 @@ def test_wrap_mode_cli(fixtures_dir, tmp_path):
     from mp3rgain_tpu.ape import remove_ape_tag
 
     assert remove_ape_tag(path.read_bytes()) == original
+
+
+def test_degenerate_rate_warning_88200_aac(tmp_path, capsys):
+    """88.2 kHz analysis uses a numerically degenerate Yule-Walker table
+    row (identical in the reference and mp3gain); the CLI must warn
+    instead of silently reporting the bogus gain (round-2 VERDICT #8)."""
+    import numpy as np
+
+    from mp3rgain_tpu.testing import avcodec
+
+    sr = 88200
+    t = np.arange(sr) / sr
+    pcm = (0.3 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    p = tmp_path / "hi882.aac"
+    p.write_bytes(avcodec.encode_adts(pcm, sr, 128000))
+
+    rc = cli.main(["-n", "-o", "json", "-r", str(p)])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "88200" in cap.err and "unreliable" in cap.err
+    out = json.loads(cap.out)
+    assert "degenerate" in (out["files"][0].get("warning") or "")
+
+
+def test_no_degenerate_warning_at_normal_rates(fixtures_dir, tmp_path, capsys):
+    path = _copy(fixtures_dir, "test_mono.mp3", tmp_path)
+    rc = cli.main(["-n", "-o", "json", "-r", str(path)])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "degenerate" not in cap.err and "unreliable" not in cap.err
