@@ -69,7 +69,11 @@ from ..native import _lib as _native_lib  # noqa: E402
 
 _declare_pack(_native_lib)
 
-LANES = 1024  # granule-channels per grid block
+# Granule-channels per grid block. Wider blocks amortize the per-step
+# fixed cost (the decode chain is latency-bound: extract → LUT dots →
+# advance) over more lanes at ~2% looser step bounds on sorted content;
+# env-overridable for A/B measurement (tools/devbench_entropy.py).
+LANES = int(os.environ.get("MP3RGAIN_ENTROPY_LANES", "1024"))
 # Blocks decoded per grid program. The hope for ILV=2 was that the
 # scheduler would overlap one block's MXU lookups with the other's VPU
 # bit arithmetic (the per-step chain is serial within a block), but the

@@ -1,9 +1,10 @@
 """JAX decode back-end: quantized spectra → PCM, batched on device.
 
 Pipeline (all jit-compatible, static shapes per call):
-  requantize → stereo (MS / intensity) → alias reduction → IMDCT+window
-  → overlap-add (a pure shift, no scan) → frequency inversion →
-  polyphase synthesis (MXU matmul + 16-tap windowed conv).
+  requantize → stereo (MS / intensity) → fused [alias reduction ∘
+  IMDCT ∘ window] class-core GEMMs → overlap-add (a pure shift, no
+  scan) → fused polyphase synthesis (frequency inversion and the DCT
+  matrixing folded into two dewindowing GEMM constants).
 
 Replaces the DSP stage of the reference's external decoder
 (symphonia-bundle-mp3; used at /root/reference/src/replaygain.rs:804-904).
@@ -265,88 +266,83 @@ def _alias_matrices():
     return a_long, a_mixed
 
 
-def _alias(b: GranuleBatch, xr, masks, dtype):
-    """Alias-reduction butterflies as masked (G, 576) x (576, 576) GEMMs.
+@lru_cache(maxsize=None)
+def _fused_hybrid_cores():
+    """Alias reduction ∘ IMDCT ∘ window as THREE (576, 1152) maps, one
+    per layout class, with output columns ordered [head(576) | tail(576)]
+    in hybrid line layout (col 18*sb + i).
 
-    The map is linear per granule (2x2 rotations on disjoint line pairs,
-    identity elsewhere), so one MXU pass applies all 31 boundaries. The
-    earlier sliced formulation built (G, 31, 8)-shaped temporaries whose
-    8-wide minor dim pads 16x under (8, 128) tiling — XLA materialized
-    one at 5.85 GB for a 363 MB tensor on long-track batches (HBM OOM),
-    and re-laying it out by hand just moved the padding. 2-D GEMM
-    operands are the TPU-native form. HIGHEST precision keeps the two
-    nonzero products per output line at f32 exactness (the zeros in the
-    row contribute exact zeros)."""
-    from jax import lax as _lax
+    Replaces the 2 alias GEMMs + 8 per-block-type IMDCT GEMMs of the
+    unfused path with 3 GEMMs: the 36-point IMDCT core is common to
+    block types 0/1/3 (only the 36-line window differs — applied
+    per-granule elementwise afterwards), the short composite and the
+    mixed splice bake their windows, and the alias butterflies (linear,
+    class-determined) fold into the input side. Matrices are built in
+    f64 and cast once.
+    """
+    from .tables import _window_long, build_tables
+
+    t = build_tables()
+    i = np.arange(36)[:, None]
+    k = np.arange(18)[None, :]
+    core36 = np.cos(np.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+    short_m = t.imdct[2]  # windowed short composite (36, 18)
+    long_m0 = t.imdct[0]  # windowed long (mixed blocks, sb < 2)
+
+    def blockdiag(mat_of_sb):
+        c = np.zeros((576, 1152))
+        for sb in range(32):
+            m = mat_of_sb(sb)  # (36, 18): [out line w, input line mm]
+            sl = slice(18 * sb, 18 * sb + 18)
+            c[sl, sl] = m[:18].T
+            c[sl, slice(576 + 18 * sb, 576 + 18 * sb + 18)] = m[18:].T
+        return c
 
     a_long, a_mixed = _alias_matrices()
-    al = jnp.asarray(a_long, dtype)
-    am = jnp.asarray(a_mixed, dtype)
-    y_long = jnp.dot(xr, al, precision=_lax.Precision.HIGHEST)
-    y_mixed = jnp.dot(xr, am, precision=_lax.Precision.HIGHEST)
-    return jnp.where(
-        masks[0], y_long, jnp.where(masks[2], y_mixed, xr)
-    ).astype(dtype)
+    core_long = a_long @ blockdiag(lambda sb: core36)  # unwindowed
+    core_short = blockdiag(lambda sb: short_m)  # window baked
+    core_mixed = a_mixed @ blockdiag(
+        lambda sb: long_m0 if sb < 2 else short_m
+    )
+
+    wins = np.zeros((4, 1152))
+    for bt in (0, 1, 3):
+        w = _window_long(bt)
+        for sb in range(32):
+            wins[bt, 18 * sb : 18 * sb + 18] = w[:18]
+            wins[bt, 576 + 18 * sb : 576 + 18 * sb + 18] = w[18:]
+    return core_long, core_short, core_mixed, wins
 
 
-def _imdct_overlap(b: GranuleBatch, xr, dtype):
-    """(G, 576) → (T, nch, 576) windowed hybrid outputs with overlap carry.
+def _imdct_overlap_fused(b: GranuleBatch, xr, masks, dtype):
+    """(G, 576) → (T, nch, 576) windowed hybrid outputs, fused form.
 
-    IMDCT+window as four GEMM pairs (one per block type), with the 36-line
-    window split into its head (lines 0..17, this granule's output) and
-    tail (18..35, carried into the next granule), so every intermediate is
-    (G, 576)-shaped: a (G, 32, 36) buffer's 36-wide minor dim pads 3.6x
-    under (8, 128) tiling and XLA materialized one at 5.85 GB on
-    long-track batches (HBM OOM). The overlap-add across granule time is
-    then a pure one-granule shift of the tail tensor."""
+    Three class-core GEMMs (alias folded, head|tail column split baked),
+    per-granule long-window select, then the same pure-shift overlap-add
+    as the unfused path. Frequency inversion is folded into the
+    polyphase tail matrices (_tail_matrices_fused), not applied here."""
+    core_l, core_s, core_m, wins = _fused_hybrid_cores()
+    z_l = jnp.dot(xr, jnp.asarray(core_l, dtype), preferred_element_type=dtype)
+    z_s = jnp.dot(xr, jnp.asarray(core_s, dtype), preferred_element_type=dtype)
+    z_m = jnp.dot(xr, jnp.asarray(core_m, dtype), preferred_element_type=dtype)
+
+    wins = jnp.asarray(wins, dtype)
+    bt = b.block_type
+    win = jnp.where(
+        (bt == 1)[:, None], wins[1][None, :],
+        jnp.where((bt == 3)[:, None], wins[3][None, :], wins[0][None, :]),
+    )
+    z = _select_by_class(masks, [z_l * win, z_s, z_m])
+
     g = xr.shape[0]
-    heads, tails = _imdct_blockdiag()
-    col = jnp.arange(576)
-    col_sb = col // 18  # column -> subband
-
-    head = None
-    tail = None
-    bt_g = jnp.where(b.kind == 4, 2, b.block_type)  # mixed uses short matrices
-    for bt in range(4):
-        # Block-diagonal (576, 576) forms: a (G*32, 18) reshape of the
-        # input is exactly the kind of 18-wide-minor tensor XLA's remat
-        # materialized at 7x padding (HBM OOM); (G, 576) GEMM operands
-        # have no paddable dimension.
-        zh = jnp.dot(xr, jnp.asarray(heads[bt], dtype),
-                     preferred_element_type=dtype)
-        zt = jnp.dot(xr, jnp.asarray(tails[bt], dtype),
-                     preferred_element_type=dtype)
-        if bt == 0:
-            # Mixed blocks: subbands 0-1 use the long window.
-            sel = (bt_g == 0)[:, None] | (
-                (b.kind == 4)[:, None] & (col_sb < 2)[None, :]
-            )
-            head = jnp.where(sel, zh, 0.0)
-            tail = jnp.where(sel, zt, 0.0)
-        else:
-            sel = (bt_g == bt)[:, None]
-            if bt == 2:
-                sel = sel & (
-                    (b.kind != 4)[:, None] | (col_sb >= 2)[None, :]
-                )
-            head = head + jnp.where(sel, zh, 0.0)
-            tail = tail + jnp.where(sel, zt, 0.0)
-
-    # Overlap-add with the previous granule of the same channel.
     nch = b.n_channels
     t = g // nch
-    head = head.reshape(t, nch, 576)
-    tail = tail.reshape(t, nch, 576)
+    head = z[:, :576].reshape(t, nch, 576)
+    tail = z[:, 576:].reshape(t, nch, 576)
     prev_tail = jnp.concatenate(
         [jnp.zeros_like(tail[:1]), tail[:-1]], axis=0
     )
-    out = head + prev_tail  # (T, nch, 576)
-
-    # Frequency inversion: odd subbands, odd samples — a column pattern.
-    sign = jnp.where(
-        (col_sb % 2 == 1) & ((col % 18) % 2 == 1), -1.0, 1.0
-    ).astype(dtype)
-    return out * sign[None, None, :]
+    return head + prev_tail  # (T, nch, 576)
 
 
 def _synth_kernel() -> np.ndarray:
@@ -359,26 +355,6 @@ def _synth_kernel() -> np.ndarray:
         cols = j if k % 2 == 0 else 32 + j
         w[k, cols, j] = t.synth_d[k]
     return w
-
-
-@lru_cache(maxsize=None)
-def _imdct_blockdiag():
-    """Per-block-type IMDCT+window as block-diagonal (576, 576) maps,
-    split into window head (output lines 0..17) and tail (18..35)."""
-    t_tabs = build_tables()
-    heads = []
-    tails = []
-    for bt in range(4):
-        m = t_tabs.imdct[bt]  # (36, 18): [out line w, input line mm]
-        bdh = np.zeros((576, 576))
-        bdt = np.zeros((576, 576))
-        for sb in range(32):
-            sl = slice(18 * sb, 18 * sb + 18)
-            bdh[sl, sl] = m[:18].T  # [mm, w]
-            bdt[sl, sl] = m[18:].T
-        heads.append(bdh)
-        tails.append(bdt)
-    return np.stack(heads), np.stack(tails)
 
 
 @lru_cache(maxsize=None)
@@ -411,21 +387,35 @@ def _tail_matrices():
     return n18, a, b
 
 
-def _synthesis(out18, dtype):
-    """(T, nch, 576) hybrid outputs → (nch, T*576) PCM, all GEMMs.
+@lru_cache(maxsize=None)
+def _tail_matrices_fused():
+    """Polyphase synthesis folded to TWO (576, 576) maps.
 
-    Every tensor keeps a 576/1152-wide minor dim: the earlier
-    einsum+conv formulation pivoted through (C, T*18, 32)/(C, 64, TS)
-    layouts whose narrow minor dims XLA could materialize at up to 7x
-    tiling padding (HBM OOM on some batch shapes)."""
+    PCM_t = V_t @ A + V_{t-1} @ B with V_t = out18_t @ N18, so
+    PCM_t = out18_t @ (N18 @ A) + out18_{t-1} @ (N18 @ B): the (1/18)-
+    dense DCT matrixing disappears into the dewindowing constants —
+    ~3.3x fewer tail FLOPs and no (T, nch, 1152) intermediate. The
+    frequency-inversion sign pattern (odd subbands, odd samples) is a
+    per-input-row diagonal and folds into the same constants."""
     n18, a, b = _tail_matrices()
+    col = np.arange(576)
+    sign = np.where(((col // 18) % 2 == 1) & ((col % 18) % 2 == 1), -1.0, 1.0)
+    return sign[:, None] * (n18 @ a), sign[:, None] * (n18 @ b)
+
+
+def _synthesis(out18, dtype):
+    """(T, nch, 576) hybrid outputs → (nch, T*576) PCM, two GEMMs.
+
+    Every tensor keeps a 576-wide minor dim: the earlier einsum+conv
+    formulation pivoted through (C, T*18, 32)/(C, 64, TS) layouts whose
+    narrow minor dims XLA could materialize at up to 7x tiling padding
+    (HBM OOM on some batch shapes)."""
+    na, nb = _tail_matrices_fused()
     t, nch = out18.shape[0], out18.shape[1]
-    v3 = jnp.dot(out18, jnp.asarray(n18, dtype),
-                 preferred_element_type=dtype)  # (T, nch, 1152)
-    prev = jnp.concatenate([jnp.zeros_like(v3[:1]), v3[:-1]], axis=0)
+    prev = jnp.concatenate([jnp.zeros_like(out18[:1]), out18[:-1]], axis=0)
     pcm = (
-        jnp.dot(v3, jnp.asarray(a, dtype), preferred_element_type=dtype)
-        + jnp.dot(prev, jnp.asarray(b, dtype), preferred_element_type=dtype)
+        jnp.dot(out18, jnp.asarray(na, dtype), preferred_element_type=dtype)
+        + jnp.dot(prev, jnp.asarray(nb, dtype), preferred_element_type=dtype)
     )  # (T, nch, 576)
     return pcm.transpose(1, 0, 2).reshape(nch, t * 576)
 
@@ -452,8 +442,7 @@ def _decode_jit(spectrum, scf, kind, sr_row_arr, global_gain, scalefac_scale,
     with jax.default_matmul_precision("high"):
         xr = _requantize(b, rt, masks, dtype)
         xr = _stereo(b, xr, rt, masks, dtype)
-        xr = _alias(b, xr, masks, dtype)
-        out18 = _imdct_overlap(b, xr, dtype)
+        out18 = _imdct_overlap_fused(b, xr, masks, dtype)
         return _synthesis(out18, dtype)
 
 

@@ -25,10 +25,12 @@ from mp3rgain_tpu.decode import entropy_kernel as ek
 
 def bench(nb, steps, w8, k, iters=4, quiet=False):
     rng = np.random.default_rng(0)
-    buf = rng.integers(0, 2**31, (nb, w8, 8, ek.LANES), dtype=np.int64).astype(
-        np.int32
-    )
-    meta = np.zeros((nb, ek.META_ROWS, ek.LANES), np.int32)
+    # Ragged layout: block b's w8 groups start at group offset b*w8;
+    # W8_MAX tail pad keeps the fixed-size DMA in bounds.
+    buf = rng.integers(
+        0, 2**31, (nb * w8 + ek.W8_MAX, 8, ek.LANES), dtype=np.int64
+    ).astype(np.int32)
+    meta = np.zeros((nb, ek.META_ROWS, ek.LANES), np.uint16)
     meta[:, 1] = 1700
     meta[:, 2] = 100
     meta[:, 11] = 16
@@ -37,8 +39,9 @@ def bench(nb, steps, w8, k, iters=4, quiet=False):
     ncnt = max(2, (steps - nbig + 1) // 2 * 2)
     scal = np.stack(
         [np.full(nb, nbig, np.int32), np.full(nb, ncnt, np.int32),
-         np.full(nb, w8, np.int32)], 1)
-    run0 = ek._decode_call(w8, nb, False)
+         np.full(nb, w8, np.int32),
+         (np.arange(nb) * w8).astype(np.int32)], 1)
+    run0 = ek._decode_call(nb, False)
     scald = jax.device_put(jnp.asarray(scal))
     run = lambda b, m: run0(scald, b, m)
 
@@ -46,7 +49,9 @@ def bench(nb, steps, w8, k, iters=4, quiet=False):
     def multi(buf, meta, salt):
         def body(i, carry):
             meta_c, acc = carry
-            meta_c = meta_c.at[0, 15, 0].set(salt + i + acc)
+            meta_c = meta_c.at[0, 15, 0].set(
+                ((salt + i + acc) & 0x7FFF).astype(jnp.uint16)
+            )
             vals, mout = run(buf, meta_c)
             # Real data dependency: the p-row actually varies with input.
             return (meta_c, acc + (mout[0, 3, 0] & 7) + 1)

@@ -70,7 +70,7 @@ def main():
     w8_cap, nb = prep.w8_cap, prep.nb
 
     def entropy(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
-        metab = metab.at[0, 15, 0].set(bump)
+        metab = metab.at[0, 15, 0].set(bump.astype(metab.dtype))
         spec, be, ce, _ = ek.decode_device(scalars, buf, metab, inv,
                                            w8_cap=w8_cap, nb=nb)
         s = jnp.sum(spec, dtype=jnp.int32)
@@ -78,7 +78,7 @@ def main():
 
     def prefix_core(stop):
         def fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
-            metab = metab.at[0, 15, 0].set(bump)
+            metab = metab.at[0, 15, 0].set(bump.astype(metab.dtype))
             spec, big_end, c1end, _ = ek.decode_device(
                 scalars, buf, metab, inv, w8_cap=w8_cap, nb=nb)
             zrow = jnp.zeros((1, 576), spec.dtype)
@@ -87,6 +87,7 @@ def main():
             big_end = jnp.concatenate([big_end, zs])
             c1end = jnp.concatenate([c1end, zs])
             spectrum = spec[rowmap]
+            info = info.astype(jnp.int32)
             info = info.at[..., fe.BIG_END].set(big_end[rowmap])
             info = info.at[..., fe.COUNT1_END].set(c1end[rowmap])
             if stop == "gather":
@@ -95,6 +96,20 @@ def main():
             fields = rn._derive_fields(spectrum, scf, info, n_channels=nch)
             from mp3rgain_tpu.decode.format_tables import SR_ROW
             from mp3rgain_tpu.decode import synthesis
+
+            if stop == "requant":
+                def one_rq(a):
+                    b = synthesis.GranuleBatch(*a, n_channels=nch)
+                    rt = synthesis.row_tables(SR_ROW[sr])
+                    masks = synthesis._class_masks(b.kind)
+                    with jax.default_matmul_precision("high"):
+                        xr = synthesis._requantize(b, rt, masks, jnp.float32)
+                        xr = synthesis._stereo(b, xr, rt, masks, jnp.float32)
+                    return xr
+
+                xr = jax.vmap(one_rq)(fields)
+                s = jnp.sum(xr)
+                return None, None, jnp.stack([s, s, s])[None, :]
 
             def one(a):
                 return synthesis._decode_jit(
@@ -124,6 +139,7 @@ def main():
     stages = [
         ("entropy", entropy),
         ("gather", prefix_core("gather")),
+        ("requant", prefix_core("requant")),
         ("synthesis", prefix_core("synthesis")),
         ("iir", prefix_core("iir")),
         ("full", full_fn),
