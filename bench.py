@@ -223,12 +223,85 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
-    print(json.dumps({
+    record = {
         "metric": "replaygain_analysis_throughput",
         "value": round(audio_hours_per_sec, 4),
         "unit": "audio-hours/sec/chip",
         "vs_baseline": round(audio_hours_per_sec / BASELINE_AUDIO_HOURS_PER_SEC, 4),
-    }))
+    }
+    if on_tpu:
+        try:
+            record.update(_bench_aac())
+        except Exception as e:  # keep the headline metric robust
+            print(f"aac bench failed: {e}", file=sys.stderr, flush=True)
+    print(json.dumps(record))
+
+
+def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
+    """AAC/M4A batch throughput (BASELINE config 4): host AAC-LC front-end
+    rate per core + the shared device DSP (AAC IMDCT → equal-loudness →
+    histogram) on a batch, with chained-dependency timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp3rgain_tpu import aac
+    from mp3rgain_tpu.decode import aac_frontend as af
+    from mp3rgain_tpu.testing import fixtures
+
+    sr = 44100
+    rng = np.random.default_rng(11)
+    t = np.arange(sr * seconds) / sr
+    wave = 0.3 * np.sin(2 * np.pi * 523.0 * t)
+    wave += 0.1 * np.sin(2 * np.pi * 2093.0 * t)
+    wave += 0.06 * rng.standard_normal(len(t))
+    pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+    stereo = np.stack([pcm, np.roll(pcm, 17)], axis=1).astype(np.float32) / 32768.0
+    m4a = fixtures.encode_m4a(stereo, sr, bitrate=192000)
+
+    t0 = time.monotonic()
+    u = af.unpack_data(m4a)
+    host_dt = time.monotonic() - t0
+    nch = u.n_channels or 2
+    track_sec = ((u.n // nch) * 1024) / sr
+    host_x = track_sec / host_dt
+    print(f"aac host front-end: {host_x:.0f}x real-time/core",
+          file=sys.stderr, flush=True)
+
+    args = aac.prepare_batch_arrays_aac([u] * tracks, nch)
+    t0 = time.monotonic()
+    dev_args = jax.device_put(args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), dev_args)
+    h2d_dt = time.monotonic() - t0
+    nbytes = sum(a.nbytes for a in args)
+    print(f"aac h2d: {nbytes / 1e6:.0f} MB in {h2d_dt:.2f}s",
+          file=sys.stderr, flush=True)
+
+    fn0 = aac._batch_fn(nch, sr, jnp.float32)
+
+    def fn(bump, spec, wseq, wshape, valid):
+        return fn0(spec + (bump % 3).astype(spec.dtype) * 1e-6, wseq,
+                   wshape, valid)
+
+    audio_seconds = track_sec * tracks
+    wall = _measure(jax.jit(fn), dev_args, lambda o: (o[2][:1] * 0).astype("int32")[0],
+                    audio_seconds)
+    device_x = audio_seconds / wall
+    host_share = host_dt * tracks
+    e2e = audio_seconds / (wall + h2d_dt + host_share)
+    pipe = audio_seconds / max(wall, h2d_dt, host_share)
+    print(
+        f"aac device pipeline: {tracks} tracks x {track_sec:.1f}s in "
+        f"{wall * 1000:.1f}ms -> {device_x:.0f}x; e2e serial {e2e:.0f}x, "
+        f"pipelined {pipe:.0f}x (host {host_share:.2f}s, h2d {h2d_dt:.2f}s, "
+        f"chip {wall:.2f}s)",
+        file=sys.stderr, flush=True,
+    )
+    return {
+        "aac_device_x": round(device_x, 1),
+        "aac_e2e_serial_x": round(e2e, 1),
+        "aac_e2e_pipelined_x": round(pipe, 1),
+        "aac_host_frontend_x": round(host_x, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -70,10 +70,12 @@ from ..native import _lib as _native_lib  # noqa: E402
 _declare_pack(_native_lib)
 
 # Granule-channels per grid block. Wider blocks amortize the per-step
-# fixed cost (the decode chain is latency-bound: extract → LUT dots →
-# advance) over more lanes at ~2% looser step bounds on sorted content;
-# env-overridable for A/B measurement (tools/devbench_entropy.py).
-LANES = int(os.environ.get("MP3RGAIN_ENTROPY_LANES", "1024"))
+# fixed cost over more lanes at ~2% looser step bounds on sorted
+# content: measured on v5e, 2048 lanes run the same real batch ~17%
+# faster than 1024 (total lockstep steps halve, per-step cost grows
+# 1.85x; int16 spectrum output keeps the block inside the ~16 MB scoped
+# VMEM limit). Env-overridable for A/B (tools/devbench_entropy.py).
+LANES = int(os.environ.get("MP3RGAIN_ENTROPY_LANES", "2048"))
 # Blocks decoded per grid program. The hope for ILV=2 was that the
 # scheduler would overlap one block's MXU lookups with the other's VPU
 # bit arithmetic (the per-step chain is serial within a block), but the
@@ -84,6 +86,11 @@ LANES = int(os.environ.get("MP3RGAIN_ENTROPY_LANES", "1024"))
 # machinery stays for re-testing on other generations
 # (MP3RGAIN_ENTROPY_ILV=2).
 ILV = int(os.environ.get("MP3RGAIN_ENTROPY_ILV", "1"))
+# Measurement-only ablation switch (tools/devbench_entropy.py): disables
+# parts of the decode step to attribute per-step cost. Produces WRONG
+# results — never set outside benchmarking. Values: "", "nofetch",
+# "nolut", "nocont", "noesc".
+ABLATE = os.environ.get("MP3RGAIN_EK_ABLATE", "")
 META_ROWS = 16
 MAX_STEPS = 288  # >= bvp + (576-2*bvp)/4 for all legal streams
 # Scratch capacity in word-groups (one group = (8, LANES) int32 = 256
@@ -187,8 +194,11 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
         # Both phases write step-uniform rows, so the output block is the
         # COMPACTED (576, L) spectrum and no XLA gather is needed (an
         # elementwise take_along_axis over the old stride-4 buffer cost
-        # ~20x the kernel itself on TPU).
-        out_ref[...] = jnp.zeros((ilv, 576, L), i32)
+        # ~20x the kernel itself on TPU). int16 output: spectral values
+        # are bounded by 15 + 8191 linbits = 8206, and halving the block
+        # fits the 2048-lane variant inside the ~16 MB scoped-VMEM limit
+        # (and halves the HBM write + downstream gather traffic).
+        out_ref[...] = jnp.zeros((ilv, 576, L), jnp.int16)
         # count1 values are -1/0/1: int8 scratch keeps the interleaved
         # kernel inside the ~16 MB VMEM budget.
         c_ref[...] = jnp.zeros((ilv, 576, L), jnp.int8)
@@ -223,7 +233,10 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
                     a2 = a2 + jnp.where(wi == base + j - 2, row, 0)
                 return (a0, a1, a2)
 
-            w0, w1, w2 = lax.fori_loop(lo, hi, fetch, (zero, zero, zero))
+            if ABLATE == "nofetch":
+                w0, w1, w2 = zero, zero, zero
+            else:
+                w0, w1, w2 = lax.fori_loop(lo, hi, fetch, (zero, zero, zero))
             u0 = w0.astype(u32)
             u1 = w1.astype(u32)
             u2 = w2.astype(u32)
@@ -263,6 +276,8 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
         def lookup_a(extract, p, gid):
             """8-bit window -> LUT_A fields [ab, adv, flag]."""
             win1 = extract(p, 8)
+            if ABLATE == "nolut":
+                return (win1 & 63) + 1, (win1 & 7) + 2, win1 & 0
             ab, af = lut_fields(win1, gid, lutA_ref, gA_ref, iota256, iotaA)
             return ab, af & 15, af >> 4
 
@@ -302,9 +317,13 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
                 z = jnp.zeros((1, L), i32)
                 return z, z, z, z
 
-            ab2, f2, ab3, rem3 = lax.cond(
-                jnp.any(cont), cont_levels, no_cont, None
-            )
+            if ABLATE == "nocont":
+                ab2, f2, ab3, rem3 = no_cont(None)
+                cont = cont & False
+            else:
+                ab2, f2, ab3, rem3 = lax.cond(
+                    jnp.any(cont), cont_levels, no_cont, None
+                )
             cont3 = cont & (f2 == F2_L3)
             bad = bad | (cont & (f2 == 0))
             bad = bad | (cont3 & (rem3 == 0))
@@ -318,24 +337,44 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
 
             # escape linbits + sign bits
             qq = p + clen
-            e1 = extract(qq, 14)
+            if ABLATE == "noesc":
+                emit = can_big & (~bad)
+                s0v = jnp.where(emit, x, 0)
+                s1v = jnp.where(emit, y, 0)
+                r_ab = (2 * k) % 8
+                pending = jnp.where(row8 == r_ab, s0v, pending)
+                pending = jnp.where(row8 == r_ab + 1, s1v, pending)
+
+                @pl.when(k % 4 == 3)
+                def _():
+                    out_ref[hh.h, pl.ds(8 * (k // 4), 8), :] = (
+                        pending.astype(jnp.int16)
+                    )
+
+                p = jnp.where(emit, qq + 2, p)
+                n = n + emit.astype(i32)
+                alive = jnp.where(bad, 0, alive)
+                bad_ever = jnp.where(bad, 1, bad_ever)
+                return (p, n, alive, bad_ever, pending)
+            # One 28-bit window covers the worst case exactly:
+            # linbits_x(13) + sign_x(1) + linbits_y(13) + sign_y(1).
+            e = extract(qq, 28)
             ex = (x == 15) & (linb > 0)
-            linx = e1 >> (14 - linb)
+            linx = e >> (28 - linb)  # top bits: no mask needed
             xv = x + jnp.where(ex, linx, 0)
             lx = jnp.where(ex, linb, 0)
             sx = (xv != 0) & can_big
-            xbit = (e1 >> (13 - lx)) & 1
+            xbit = (e >> (27 - lx)) & 1
             xv = jnp.where(sx & (xbit == 1), -xv, xv)
-            q2 = qq + lx + sx.astype(i32)
-            e2 = extract(q2, 14)
+            o = lx + sx.astype(i32)
             ey = (y == 15) & (linb > 0)
-            liny = e2 >> (14 - linb)
+            liny = (e >> (28 - o - linb)) & ((1 << linb) - 1)
             yv = y + jnp.where(ey, liny, 0)
             ly = jnp.where(ey, linb, 0)
             sy = (yv != 0) & can_big
-            ybit = (e2 >> (13 - ly)) & 1
+            ybit = (e >> (27 - o - ly)) & 1
             yv = jnp.where(sy & (ybit == 1), -yv, yv)
-            p_big = q2 + ly + sy.astype(i32)
+            p_big = qq + o + ly + sy.astype(i32)
 
             emit = can_big & (~bad)
             s0v = jnp.where(emit, xv, 0)
@@ -347,7 +386,9 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
 
             @pl.when(k % 4 == 3)
             def _():
-                out_ref[hh.h, pl.ds(8 * (k // 4), 8), :] = pending
+                out_ref[hh.h, pl.ds(8 * (k // 4), 8), :] = pending.astype(
+                    jnp.int16
+                )
 
             p = jnp.where(emit, p_big, p)
             n = n + emit.astype(i32)
@@ -461,7 +502,7 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
                 amt = 1 << b
                 hit = ((s >> b) & 1) == 1
                 cv = jnp.where(hit, jnp.roll(cv, amt, axis=0), cv)
-            out_ref[hh.h] = out_ref[hh.h] + cv.astype(i32)
+            out_ref[hh.h] = out_ref[hh.h] + cv.astype(jnp.int16)
 
             badi = bad_ever
             mout = jnp.concatenate(
@@ -578,7 +619,7 @@ def _decode_call(nb: int, interpret: bool):
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((nb, 576, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 576, LANES), jnp.int16),
             jax.ShapeDtypeStruct((nb, 8, LANES), jnp.int32),
         ),
         interpret=interpret,
@@ -820,4 +861,6 @@ def decode_spectra(md: np.ndarray, meta: np.ndarray, *,
         jnp.asarray(p.inv), w8_cap=p.w8_cap,
         nb=p.nb, interpret=interpret,
     )
-    return spec[: p.n], big_end[: p.n], c1end[: p.n], ok[: p.n]
+    # Public contract stays int32 (the kernel emits int16 internally).
+    return (spec[: p.n].astype(jnp.int32), big_end[: p.n], c1end[: p.n],
+            ok[: p.n])
