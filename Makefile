@@ -18,6 +18,11 @@ test-fast: native
 bench: native
 	python bench.py
 
+# Precompile the scan pipelines for the common shape ladder (populates
+# jax's persistent compilation cache on stacks with stable cache keys).
+warmup: native
+	python tools/warmup.py
+
 compat: native
 	bash scripts/compatibility-test.sh
 

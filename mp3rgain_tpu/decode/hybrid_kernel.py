@@ -1,0 +1,329 @@
+"""Pallas fused hybrid stage: requantize → stereo → [alias ∘ IMDCT ∘
+window] in one block-resident kernel.
+
+The XLA formulation of this span materializes every intermediate —
+requantized spectra, stereo outputs, per-class scf/sbg sample tables,
+three class-core GEMM results — at (B·G, 576+) f32 each trip to HBM;
+measured 177 ms of the 562 ms pipeline on the 64×60 s bench batch
+(tools/devbench_stages.py) against ~20 ms of MXU work. This kernel keeps
+one row-tile resident in VMEM from int16 spectrum to the (1152-wide)
+windowed hybrid output.
+
+TPU-first structure:
+  - rows are granule-times, CHANNEL-MAJOR planes: stereo reads both
+    channels' tiles as separate block inputs (no strided sublane access);
+  - the short/mixed sample reorder is folded away: all per-sample tables
+    are re-indexed to NATURAL spectral order and the permutation is
+    folded into the class-core matrices (xr_layout @ C == xr_natural @
+    (Q C));
+  - scalefactor/subblock-gain expansion is per-class one-hot dots on the
+    tile (the MXU work is negligible at tile size; what matters is that
+    the results never leave VMEM);
+  - the three fused class cores ((576, 1152) f32, alias folded, head|tail
+    column order baked — decode/synthesis._fused_hybrid_cores with the
+    reorder fold) stay resident across the whole grid.
+
+Numerics: core GEMMs run at HIGHEST precision (f32-accurate); the
+requantize power uses exp2/log2 like XLA's own pow lowering. The XLA
+path (decode/synthesis.py) remains the CPU/mesh implementation and the
+equality oracle (tests/test_hybrid_kernel.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tables import KIND_MIXED, build_tables, row_tables
+
+# Granule-times per grid step: sized so the resident set (3x f32 class
+# cores 8 MB + double-buffered per-channel in/out tiles + kernel
+# temporaries) stays inside the ~16 MB scoped-VMEM limit (TILE=256
+# measured 20.3 MB on v5e).
+TILE = 128
+
+# gmeta field indices (int32, one row per granule-channel).
+GM_GG = 0  # global_gain
+GM_SFS = 1  # scalefac_scale
+GM_PRE = 2  # preflag
+GM_SBG0 = 3
+GM_SBG1 = 4
+GM_SBG2 = 5
+GM_BT = 6  # block_type
+GM_CLS = 7  # layout class 0 long / 1 short / 2 mixed
+GM_MS = 8
+GM_IS = 9
+GM_LSF = 10
+GM_ISC = 11  # intensity_scale (parsed from ch1, stored per row)
+GM_RZO = 12  # partner channel's rzero bound
+GM_N = 16
+
+_SQRT2_INV = float(1.0 / np.sqrt(2.0))
+
+
+@lru_cache(maxsize=None)
+def _consts(sr_row: int):
+    """Natural-order per-class tables + permutation-folded fused cores."""
+    from .synthesis import _fused_hybrid_cores
+
+    t = build_tables()
+    rt = row_tables(sr_row)
+
+    perms = [np.arange(576), rt.perm_short.copy(), None]
+    pm = t.reorder[sr_row, KIND_MIXED].astype(np.int32)
+    perms[2] = pm
+
+    core_l, core_s, core_m, wins = _fused_hybrid_cores()
+    cores_layout = [core_l, core_s, core_m]
+
+    slot_nat = np.zeros((3, 64, 576), np.float32)
+    win_nat = np.zeros((3, 3, 576), np.float32)
+    pretab_nat = np.zeros((3, 576), np.float32)
+    bs_nat = np.zeros((3, 576), np.float32)
+    short_nat = np.zeros((3, 576), np.float32)
+    cores_nat = np.zeros((3, 576, 1152), np.float32)
+    for c in range(3):
+        perm = perms[c]
+        # Layout table value at layout sample j belongs to natural
+        # sample perm[j] (dst[j] = src[perm[j]]).
+        slot_nat[c][:, perm] = rt.slot_onehot[c]
+        win_nat[c][:, perm] = rt.win_onehot[c]
+        pretab_nat[c][perm] = rt.pretab[c]
+        bs_nat[c][perm] = rt.band_start[c].astype(np.float32)
+        short_nat[c][perm] = rt.is_short[c].astype(np.float32)
+        # xr_layout = xr_natural[perm] = xr_natural @ Q with
+        # Q[perm[j], j] = 1, so the natural-order core is Q @ core.
+        q = np.zeros((576, 576))
+        q[perm, np.arange(576)] = 1.0
+        cores_nat[c] = (q @ cores_layout[c]).astype(np.float32)
+
+    # Numpy on purpose: conversion happens at the pallas bind, so a call
+    # inside an enclosing jit cannot cache device arrays across traces.
+    return (
+        cores_nat,
+        slot_nat,
+        win_nat,
+        pretab_nat,
+        bs_nat,
+        short_nat,
+        wins.astype(np.float32),
+    )
+
+
+def _kernel_body(n_channels: int):
+    f32 = jnp.float32
+
+    def sel_cls(cls, rows):
+        """Select a per-class (X, 576) row set by the (T, 1) class id."""
+        out = jnp.where(cls == 0, rows[0], rows[1])
+        return jnp.where(cls == 2, rows[2], out)
+
+    def requant(spec, scf, gm, slot_ref, winoh_ref, pre_ref, short_ref):
+        s = spec.astype(f32)  # (T, 576)
+        mag = jnp.abs(s)
+        cls = gm[:, GM_CLS : GM_CLS + 1].astype(f32)
+
+        scf_f = scf.astype(f32)  # (T, 64)
+        scf_s = sel_cls(cls, [
+            jnp.dot(scf_f, slot_ref[c], precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)
+            for c in range(3)
+        ])
+        sbg = gm[:, GM_SBG0 : GM_SBG0 + 3].astype(f32)  # (T, 3)
+        sbg_s = sel_cls(cls, [
+            jnp.dot(sbg, winoh_ref[c], precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)
+            for c in range(3)
+        ])
+        pre = sel_cls(cls, [pre_ref[c : c + 1, :] for c in range(3)])
+        short = sel_cls(cls, [short_ref[c : c + 1, :] for c in range(3)])
+
+        gg = gm[:, GM_GG : GM_GG + 1].astype(f32)
+        sfs = gm[:, GM_SFS : GM_SFS + 1].astype(f32)
+        preflag = gm[:, GM_PRE : GM_PRE + 1].astype(f32)
+        scf_mult = 0.5 * (1.0 + sfs)
+        exponent = (
+            0.25 * (gg - 210.0)
+            - scf_mult * (scf_s + preflag * pre)
+            - 2.0 * short * sbg_s
+        )
+        # mag ** (4/3) via exp2/log2 (the same form XLA lowers pow to);
+        # mag == 0 -> log2 = -inf -> exp2 = 0, matching pow(0) = 0.
+        xm = jnp.exp2(jnp.log2(mag) * f32(4.0 / 3.0))
+        return jnp.sign(s) * xm * jnp.exp2(exponent), scf_s, cls
+
+    def stereo(x0, x1, scf_s1, cls0, gm0, gm1, bs_ref):
+        ms = gm0[:, GM_MS : GM_MS + 1].astype(f32) == 1.0
+        left = jnp.where(ms, (x0 + x1) * f32(_SQRT2_INV), x0)
+        right = jnp.where(ms, (x0 - x1) * f32(_SQRT2_INV), x1)
+
+        isf = gm0[:, GM_IS : GM_IS + 1].astype(f32) == 1.0
+        band_start = sel_cls(cls0, [bs_ref[c : c + 1, :] for c in range(3)])
+        rzero = gm0[:, GM_RZO : GM_RZO + 1].astype(f32)
+        in_band = isf & (band_start >= rzero)
+
+        is_pos = scf_s1  # ch1 scalefactors in natural sample layout
+
+        angle = is_pos * f32(np.pi / 12.0)
+        tan = jnp.tan(jnp.minimum(angle, f32(1.55)))
+        kl1 = jnp.where(is_pos == 6.0, 1.0, tan / (1.0 + tan))
+        kr1 = jnp.where(is_pos == 6.0, 0.0, 1.0 / (1.0 + tan))
+
+        # io is 2^-1/2 or 2^-1/4, so io**n = exp2(n * log2(io)) with an
+        # EXACT log2 — no variable-base pow in the kernel.
+        log2_io = jnp.where(
+            gm1[:, GM_ISC : GM_ISC + 1].astype(f32) == 1.0,
+            f32(-0.5), f32(-0.25),
+        )
+        half_up = jnp.floor((is_pos + 1.0) * 0.5)
+        k_odd = jnp.exp2(half_up * log2_io)
+        is_odd = jnp.floor(is_pos * 0.5) * 2.0 != is_pos
+        kl2 = jnp.where(is_odd, k_odd, 1.0)
+        kr2 = jnp.where(
+            is_odd, 1.0,
+            jnp.where(is_pos == 0.0, 1.0,
+                      jnp.exp2(jnp.floor(is_pos * 0.5) * log2_io)),
+        )
+
+        lsf = gm0[:, GM_LSF : GM_LSF + 1].astype(f32) == 1.0
+        kl = jnp.where(lsf, kl2, kl1)
+        kr = jnp.where(lsf, kr2, kr1)
+        illegal = (~lsf) & (is_pos == 7.0)
+
+        apply_i = in_band & ~illegal
+        left = jnp.where(apply_i, kl * x0, left)
+        right = jnp.where(apply_i, kr * x0, right)
+        return left, right
+
+    def hybrid(xr, cls, gm, cores_ref, wins_ref):
+        zs = [
+            jnp.dot(xr, cores_ref[c], precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)
+            for c in range(3)
+        ]
+        bt = gm[:, GM_BT : GM_BT + 1].astype(f32)
+        win = jnp.where(
+            bt == 1.0, wins_ref[1:2, :],
+            jnp.where(bt == 3.0, wins_ref[3:4, :], wins_ref[0:1, :]),
+        )
+        return sel_cls(cls, [zs[0] * win, zs[1], zs[2]])
+
+    if n_channels == 2:
+
+        def kernel(s0_ref, s1_ref, scf0_ref, scf1_ref, gm0_ref, gm1_ref,
+                   cores_ref, slot_ref, winoh_ref, pre_ref, bs_ref,
+                   short_ref, wins_ref, z0_ref, z1_ref):
+            gm0 = gm0_ref[0]
+            gm1 = gm1_ref[0]
+            x0, _, cls0 = requant(s0_ref[0], scf0_ref[0], gm0, slot_ref,
+                                  winoh_ref, pre_ref, short_ref)
+            x1, scf_s1, cls1 = requant(s1_ref[0], scf1_ref[0], gm1,
+                                       slot_ref, winoh_ref, pre_ref,
+                                       short_ref)
+            left, right = stereo(x0, x1, scf_s1, cls0, gm0, gm1, bs_ref)
+            z0_ref[0] = hybrid(left, cls0, gm0, cores_ref, wins_ref)
+            z1_ref[0] = hybrid(right, cls1, gm1, cores_ref, wins_ref)
+
+        return kernel
+
+    def kernel(s0_ref, scf0_ref, gm0_ref, cores_ref, slot_ref, winoh_ref,
+               pre_ref, bs_ref, short_ref, wins_ref, z0_ref):
+        gm0 = gm0_ref[0]
+        x0, _, cls0 = requant(s0_ref[0], scf0_ref[0], gm0, slot_ref,
+                              winoh_ref, pre_ref, short_ref)
+        z0_ref[0] = hybrid(x0, cls0, gm0, cores_ref, wins_ref)
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _fused_call(n_channels: int, n_tiles: int, interpret: bool):
+    kern = _kernel_body(n_channels)
+
+    def ch_block(shape_tail, c):
+        # Channel planes arrive pre-sliced to (1, R, ...): the leading
+        # block index is always 0; `c` only orders the argument list.
+        del c
+        return pl.BlockSpec((1, TILE) + shape_tail,
+                            lambda i: (0, i) + (0,) * len(shape_tail),
+                            memory_space=pltpu.VMEM)
+
+    def const_block(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    data_specs = []
+    for c in range(n_channels):
+        data_specs += [ch_block((576,), c)]
+    for c in range(n_channels):
+        data_specs += [ch_block((64,), c)]
+    for c in range(n_channels):
+        data_specs += [ch_block((GM_N,), c)]
+    # interleave per the kernel signature: s0,s1,scf0,scf1,gm0,gm1
+    if n_channels == 2:
+        order = [0, 1, 2, 3, 4, 5]
+        data_specs = [data_specs[i] for i in order]
+
+    const_specs = [
+        const_block((3, 576, 1152)),
+        const_block((3, 64, 576)),
+        const_block((3, 3, 576)),
+        const_block((3, 576)),
+        const_block((3, 576)),
+        const_block((3, 576)),
+        const_block((4, 1152)),
+    ]
+    out_specs = tuple(
+        pl.BlockSpec((1, TILE, 1152), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_channels)
+    )
+
+    def make(rows):
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=data_specs + const_specs,
+            out_specs=out_specs if n_channels == 2 else out_specs[0],
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((1, rows, 1152), jnp.float32)
+                for _ in range(n_channels)
+            ) if n_channels == 2 else jax.ShapeDtypeStruct(
+                (1, rows, 1152), jnp.float32),
+            interpret=interpret,
+        )
+
+    return make(n_tiles * TILE)
+
+
+def fused_hybrid(spec_cm, scf_cm, gmeta_cm, *, n_channels: int,
+                 sr_row: int, interpret: bool = False):
+    """(C, R, 576) int16 spectra + (C, R, 64) scf + (C, R, GM_N) gmeta
+    → (C, R, 1152) windowed hybrid outputs (head|tail column order).
+
+    R must be a multiple of TILE (callers pad; zero rows produce zero
+    output). Rows are granule-times, channel-major."""
+    c, r, _ = spec_cm.shape
+    assert c == n_channels and r % TILE == 0, (spec_cm.shape, n_channels)
+    consts = _consts(sr_row)
+    call = _fused_call(n_channels, r // TILE, interpret)
+    planes = []
+    if n_channels == 2:
+        args = (
+            spec_cm[0:1], spec_cm[1:2],
+            scf_cm[0:1], scf_cm[1:2],
+            gmeta_cm[0:1], gmeta_cm[1:2],
+        )
+        z0, z1 = call(*args, *consts)
+        planes = [z0, z1]
+    else:
+        z0 = call(spec_cm[0:1], scf_cm[0:1], gmeta_cm[0:1], *consts)
+        planes = [z0]
+    return jnp.concatenate(planes, axis=0)  # (C, R, 1152)

@@ -144,12 +144,17 @@ def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
 
 
 def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
-                *, nb: int, n_channels: int, sample_rate: int, dtype):
+                *, nb: int, n_channels: int, sample_rate: int, dtype,
+                fused: bool = False, interpret: bool = False):
     """Raw-bits pipeline tail: sorted kernel outputs → analysis results.
 
     Dispatched as its own executable in production (dispatch_light): the
     entropy stage's ragged-buffer length then only keys the small Pallas
-    program, not this (much larger) synthesis+IIR+histogram graph."""
+    program, not this (much larger) synthesis+IIR+histogram graph.
+    fused=True routes the requantize→stereo→hybrid span through the
+    Pallas block-resident kernel (decode/hybrid_kernel) instead of the
+    XLA formulation — same math, different rounding (the XLA path is the
+    exact-parity oracle for the CPU/mesh paths)."""
     from ..decode import entropy_kernel as ek
 
     spec, big_end, c1end, _ok = ek.unsort_blocks(spec_b, mout, inv, nb=nb)
@@ -160,6 +165,13 @@ def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
     big_end = jnp.concatenate([big_end, zs])
     c1end = jnp.concatenate([c1end, zs])
 
+    if fused:
+        return _analysis_tail_fused(
+            spec, big_end, c1end, rowmap, scf, info, valid_samples,
+            n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+            interpret=interpret,
+        )
+
     spectrum = spec[rowmap]  # (B, G, 576) row gather
     info = info.astype(jnp.int32)
     info = info.at[..., fe.BIG_END].set(big_end[rowmap])
@@ -168,6 +180,111 @@ def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
         spectrum, scf, info, valid_samples,
         n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
     )
+
+
+def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
+                         valid_samples, *, n_channels: int,
+                         sample_rate: int, dtype, interpret: bool):
+    """Channel-major fused tail: rowmap gather → Pallas fused hybrid →
+    overlap-add → fused polyphase GEMMs → IIR → histogram.
+
+    Everything between the gathered int16 spectrum and the (C, R, 1152)
+    hybrid output stays in VMEM (decode/hybrid_kernel); the XLA section
+    is only structural (shifts, two GEMMs, reductions)."""
+    from ..decode import hybrid_kernel as hk
+    from ..decode import synthesis
+    from ..decode.format_tables import SR_ROW
+
+    nch = n_channels
+    bsz, g = rowmap.shape
+    t = g // nch
+    rowmap_cm = rowmap.reshape(bsz, t, nch).transpose(2, 0, 1)  # (C,B,T)
+    spec_cm = spec[rowmap_cm]  # (C, B, T, 576) int16
+    be_cm = big_end[rowmap_cm]
+    ce_cm = c1end[rowmap_cm]
+    rzero_cm = jnp.maximum(be_cm, ce_cm)  # (C, B, T)
+
+    info = info.astype(jnp.int32)
+    info_cm = info.reshape(bsz, t, nch, fe.INFO_N).transpose(2, 0, 1, 3)
+    scf_cm = scf.reshape(bsz, t, nch, fe.SCF_SLOTS).transpose(2, 0, 1, 3)
+
+    bt = info_cm[..., fe.BLOCK_TYPE]
+    mixed = info_cm[..., fe.MIXED]
+    cls = jnp.where(bt == 2, jnp.where(mixed == 1, 2, 1), 0)
+    joint = (info_cm[..., fe.CHANNEL_MODE] == 1).astype(jnp.int32)
+    ms = joint * ((info_cm[..., fe.MODE_EXT] & 2) >> 1)
+    isf = joint * (info_cm[..., fe.MODE_EXT] & 1)
+    rz_other = rzero_cm[::-1] if nch == 2 else rzero_cm
+    fields = [None] * hk.GM_N
+    fields[hk.GM_GG] = info_cm[..., fe.GLOBAL_GAIN]
+    fields[hk.GM_SFS] = info_cm[..., fe.SCALEFAC_SCALE]
+    fields[hk.GM_PRE] = info_cm[..., fe.PREFLAG]
+    fields[hk.GM_SBG0] = info_cm[..., fe.SBG0]
+    fields[hk.GM_SBG1] = info_cm[..., fe.SBG1]
+    fields[hk.GM_SBG2] = info_cm[..., fe.SBG2]
+    fields[hk.GM_BT] = bt
+    fields[hk.GM_CLS] = cls
+    fields[hk.GM_MS] = ms
+    fields[hk.GM_IS] = isf
+    fields[hk.GM_LSF] = (info_cm[..., fe.VERSION] != 1).astype(jnp.int32)
+    fields[hk.GM_ISC] = info_cm[..., fe.INTENSITY_SCALE]
+    fields[hk.GM_RZO] = rz_other
+    zero = jnp.zeros_like(bt)
+    gmeta_cm = jnp.stack(
+        [f if f is not None else zero for f in fields], axis=-1
+    )
+
+    r = bsz * t
+    rp = -(-r // hk.TILE) * hk.TILE
+    pad = rp - r
+
+    def flat(x, tailshape):
+        x = x.reshape((nch, r) + tailshape)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * len(tailshape))
+        return x
+
+    z = hk.fused_hybrid(
+        flat(spec_cm, (576,)),
+        flat(scf_cm, (fe.SCF_SLOTS,)).astype(jnp.int8),
+        flat(gmeta_cm, (hk.GM_N,)),
+        n_channels=nch, sr_row=SR_ROW[sample_rate], interpret=interpret,
+    )  # (C, Rp, 1152)
+    z = z[:, :r].reshape(nch, bsz, t, 1152)
+
+    head = z[..., :576]
+    tail = z[..., 576:]
+    prev_tail = jnp.concatenate(
+        [jnp.zeros_like(tail[:, :, :1]), tail[:, :, :-1]], axis=2
+    )
+    out18 = head + prev_tail  # (C, B, T, 576)
+
+    na, nb_m = synthesis._tail_matrices_fused()
+    prev18 = jnp.concatenate(
+        [jnp.zeros_like(out18[:, :, :1]), out18[:, :, :-1]], axis=2
+    )
+    with jax.default_matmul_precision("high"):
+        pcm = (
+            jnp.dot(out18, jnp.asarray(na, dtype),
+                    preferred_element_type=dtype)
+            + jnp.dot(prev18, jnp.asarray(nb_m, dtype),
+                      preferred_element_type=dtype)
+        )  # (C, B, T, 576)
+
+    n = t * 576
+    pcm = pcm.reshape(nch, bsz, n)
+    sample_idx = jnp.arange(n)
+    peak_mask = (sample_idx[None, None, :] < valid_samples[None, :, None])
+    peak = jnp.max(jnp.abs(pcm) * peak_mask, axis=(0, 2))  # (B,)
+
+    x = pcm.reshape(nch * bsz, n).astype(dtype) * dtype(SAMPLE_SCALE_16BIT)
+    filtered = iir.equal_loudness(x, sample_rate)
+    filtered = filtered.reshape(nch, bsz, n).transpose(1, 0, 2)  # (B, C, N)
+    hist = hi._histogram_jit(
+        filtered, valid_samples, hi.window_size(sample_rate)
+    )
+    loud_idx = hi.loudness_index_device(hist)
+    return hist, loud_idx, peak
 
 
 def _analysis_core_light(scalars, buf, metab, inv, rowmap, scf, info,
@@ -424,13 +541,28 @@ def _light_pipeline(n_channels: int, sample_rate: int,
 
 
 @lru_cache(maxsize=None)
-def _light_tail_pipeline(n_channels: int, sample_rate: int, nb: int, dtype):
+def _light_tail_pipeline(n_channels: int, sample_rate: int, nb: int, dtype,
+                         fused: bool = False, interpret: bool = False):
     core = partial(
         _light_tail,
         nb=nb,
         n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+        fused=fused, interpret=interpret,
     )
     return jax.jit(core)
+
+
+def use_fused_hybrid() -> bool:
+    """Route the requantize→hybrid span through the Pallas fused kernel.
+
+    Default: compiled TPU only — the XLA formulation stays the bit-exact
+    oracle shared by the CPU/mesh paths (tests assert light == heavy).
+    Override with MP3RGAIN_FUSED_HYBRID=1/0 (tests use 1 to run the
+    interpret-mode kernel on CPU)."""
+    env = os.environ.get("MP3RGAIN_FUSED_HYBRID")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
 
 
 class MeshRunner:
@@ -567,7 +699,8 @@ class MeshRunner:
                                         interpret=interpret)
         dev2 = jax.device_put((prep.inv, rowmap, scf, info, valid))
         tail = _light_tail_pipeline(n_channels, sample_rate, prep.nb,
-                                    self.dtype)
+                                    self.dtype, use_fused_hybrid(),
+                                    interpret)
         hist, loud_idx, peak = tail(spec_b, mout, *dev2)
         # Transfers have materialized on device once the inputs are
         # ready; the pooled host buffers are then safe to recycle.

@@ -133,8 +133,17 @@ def main():
                    n_channels=nch, sample_rate=sr, dtype=jnp.float32)
 
     def full_fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
-        info = info.at[..., fe.GLOBAL_GAIN].add(bump % 3)
+        info = info.at[..., fe.GLOBAL_GAIN].add((bump % 3).astype(info.dtype))
         return full(scalars, buf, metab, inv, rowmap, scf, info, valid)
+
+    def fused_fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
+        info = info.at[..., fe.GLOBAL_GAIN].add((bump % 3).astype(info.dtype))
+        spec_b, mout = ek.decode_blocks(scalars, buf, metab, nb=nb)
+        return rn._light_tail(
+            spec_b, mout, inv, rowmap, scf, info, valid,
+            nb=nb, n_channels=nch, sample_rate=sr, dtype=jnp.float32,
+            fused=True,
+        )
 
     stages = [
         ("entropy", entropy),
@@ -143,6 +152,7 @@ def main():
         ("synthesis", prefix_core("synthesis")),
         ("iir", prefix_core("iir")),
         ("full", full_fn),
+        ("fullfused", fused_fn),
     ]
     import random
 
