@@ -85,6 +85,13 @@ LANES = int(os.environ.get("MP3RGAIN_ENTROPY_LANES", "2048"))
 # count1 scratch just to fit the ~16 MB VMEM budget. Default 1; the
 # machinery stays for re-testing on other generations
 # (MP3RGAIN_ENTROPY_ILV=2).
+#
+# Both LANES and ILV are read ONCE at import and baked into
+# prepare_batch padding and the lru_cached compiled kernels; mutating
+# them (or the env) later in-process has no effect on already-cached
+# shapes. Set the env before importing this module. When nb is not a
+# multiple of ILV, _decode_call silently runs with ilv=1 (legacy odd-nb
+# manifests).
 ILV = int(os.environ.get("MP3RGAIN_ENTROPY_ILV", "1"))
 # Measurement-only ablation switch (tools/devbench_entropy.py): disables
 # parts of the decode step to attribute per-step cost. Produces WRONG

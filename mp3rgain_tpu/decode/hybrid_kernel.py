@@ -1,32 +1,48 @@
-"""Pallas fused hybrid stage: requantize → stereo → [alias ∘ IMDCT ∘
-window] in one block-resident kernel.
+"""Pallas fused requantize→stereo kernel + natural-order class cores
+for the XLA hybrid GEMMs.
 
-The XLA formulation of this span materializes every intermediate —
-requantized spectra, stereo outputs, per-class scf/sbg sample tables,
-three class-core GEMM results — at (B·G, 576+) f32 each trip to HBM;
-measured 177 ms of the 562 ms pipeline on the 64×60 s bench batch
-(tools/devbench_stages.py) against ~20 ms of MXU work. This kernel keeps
-one row-tile resident in VMEM from int16 spectrum to the (1152-wide)
-windowed hybrid output.
+The XLA formulation of the requantize→stereo span materializes every
+intermediate — per-class scf/sbg sample tables, requantized spectra,
+stereo outputs — at (B·G, 576) f32 each trip to HBM; measured ~78 ms of
+the 64×60 s bench batch against ~3 ms of HBM roofline
+(tools/devbench_stages.py). This kernel does the whole span in ONE
+block-resident pass: int16 spectrum in, stereo'd f32 spectrum out.
+
+The class-core GEMMs deliberately stay OUTSIDE the kernel, in XLA:
+Mosaic-lowered dots sustain only ~37 TFLOP/s on these (576→1152)
+shapes regardless of tile size, dot count, or precision mode
+(tools/hk_dotprobe.py), while XLA's one-big-GEMM lowering of the same
+contraction runs several× faster. A fully fused
+requantize→stereo→GEMM kernel was built and measured at 268–386 ms —
+worse than the 177 ms XLA span it replaced; splitting elementwise
+(Pallas) from GEMM (XLA) beats both.
 
 TPU-first structure:
   - rows are granule-times, CHANNEL-MAJOR planes: stereo reads both
-    channels' tiles as separate block inputs (no strided sublane access);
-  - the short/mixed sample reorder is folded away: all per-sample tables
-    are re-indexed to NATURAL spectral order and the permutation is
-    folded into the class-core matrices (xr_layout @ C == xr_natural @
-    (Q C));
-  - scalefactor/subblock-gain expansion is per-class one-hot dots on the
-    tile (the MXU work is negligible at tile size; what matters is that
-    the results never leave VMEM);
-  - the three fused class cores ((576, 1152) f32, alias folded, head|tail
-    column order baked — decode/synthesis._fused_hybrid_cores with the
-    reorder fold) stay resident across the whole grid.
+    channels' tiles as separate block inputs (no strided sublane
+    access);
+  - the short/mixed sample reorder is folded away: all per-sample
+    tables are re-indexed to NATURAL spectral order and the permutation
+    is folded into the class-core matrices (xr_layout @ C ==
+    xr_natural @ (Q C)), so the XLA side needs no reorder gather;
+  - scalefactor/subblock-gain expansion is per-class one-hot dots on
+    the tile (negligible MXU work; what matters is that the expanded
+    tables never leave VMEM);
+  - the XLA hybrid uses a 2-core masked decomposition
+    (natural_cores): the mixed core's rows 36..575 equal the short
+    core's EXACTLY, so per-row class selection becomes input masking —
+      z = (x·[cls==0]) @ C_long · win
+        + (x·(cls==1 | (cls==2 & sample>=36))) @ C_short
+        + (x[:, :36]·[cls==2]) @ C_mixed_head
+    — 2 full GEMMs + one 36-row slab instead of 3 full GEMMs and a
+    select (a third fewer FLOPs, no (R, 1152) select intermediates).
 
-Numerics: core GEMMs run at HIGHEST precision (f32-accurate); the
-requantize power uses exp2/log2 like XLA's own pow lowering. The XLA
-path (decode/synthesis.py) remains the CPU/mesh implementation and the
-equality oracle (tests/test_hybrid_kernel.py).
+Numerics: the requantize power uses exp2/log2 (the form XLA lowers pow
+to). The unfused XLA path (decode/synthesis.py) remains the CPU/mesh
+implementation and the equality oracle (tests/test_hybrid_kernel.py).
+
+Replaces the DSP stage the reference delegates to symphonia
+(/root/reference/src/replaygain.rs:804-904).
 """
 
 from __future__ import annotations
@@ -43,11 +59,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .tables import KIND_MIXED, build_tables, row_tables
 
-# Granule-times per grid step: sized so the resident set (3x f32 class
-# cores 8 MB + double-buffered per-channel in/out tiles + kernel
-# temporaries) stays inside the ~16 MB scoped-VMEM limit (TILE=256
-# measured 20.3 MB on v5e).
-TILE = 128
+# Granule-times per grid step. The kernel is elementwise + tiny one-hot
+# dots, so the block budget is just in/out tiles + expanded tables —
+# far inside Mosaic's 16 MB scoped-VMEM default (raising that limit is
+# harmful: it flips the compiler into a measurably slower schedule).
+TILE = 256
 
 # gmeta field indices (int32, one row per granule-channel).
 GM_GG = 0  # global_gain
@@ -69,26 +85,27 @@ _SQRT2_INV = float(1.0 / np.sqrt(2.0))
 
 
 @lru_cache(maxsize=None)
-def _consts(sr_row: int):
-    """Natural-order per-class tables + permutation-folded fused cores."""
-    from .synthesis import _fused_hybrid_cores
-
+def _perms(sr_row: int):
     t = build_tables()
     rt = row_tables(sr_row)
+    return [
+        np.arange(576),
+        rt.perm_short.copy(),
+        t.reorder[sr_row, KIND_MIXED].astype(np.int32),
+    ]
 
-    perms = [np.arange(576), rt.perm_short.copy(), None]
-    pm = t.reorder[sr_row, KIND_MIXED].astype(np.int32)
-    perms[2] = pm
 
-    core_l, core_s, core_m, wins = _fused_hybrid_cores()
-    cores_layout = [core_l, core_s, core_m]
+@lru_cache(maxsize=None)
+def _consts(sr_row: int):
+    """Per-class requant/stereo tables re-indexed to natural order."""
+    rt = row_tables(sr_row)
+    perms = _perms(sr_row)
 
     slot_nat = np.zeros((3, 64, 576), np.float32)
     win_nat = np.zeros((3, 3, 576), np.float32)
     pretab_nat = np.zeros((3, 576), np.float32)
     bs_nat = np.zeros((3, 576), np.float32)
     short_nat = np.zeros((3, 576), np.float32)
-    cores_nat = np.zeros((3, 576, 1152), np.float32)
     for c in range(3):
         perm = perms[c]
         # Layout table value at layout sample j belongs to natural
@@ -98,23 +115,41 @@ def _consts(sr_row: int):
         pretab_nat[c][perm] = rt.pretab[c]
         bs_nat[c][perm] = rt.band_start[c].astype(np.float32)
         short_nat[c][perm] = rt.is_short[c].astype(np.float32)
+
+    # Numpy on purpose: conversion happens at the pallas bind, so a call
+    # inside an enclosing jit cannot cache device arrays across traces.
+    return slot_nat, win_nat, pretab_nat, bs_nat, short_nat
+
+
+@lru_cache(maxsize=None)
+def natural_cores(sr_row: int):
+    """Fused hybrid class cores in NATURAL spectral-input order, in the
+    2-core + mixed-head decomposition used by the XLA GEMM side.
+
+    Returns (cores2 (2, 576, 1152) f32 [long, short], head (36, 1152)
+    f32, wins (4, 1152) f32). The mixed core is not materialized: its
+    rows 36..575 are exactly the short core's (the short tail of a
+    mixed block aliases/windows identically), so mixed rows decompose
+    as z = (x·tail) @ C_short + x[:, :36] @ head."""
+    from .synthesis import _fused_hybrid_cores
+
+    core_l, core_s, core_m, wins = _fused_hybrid_cores()
+    cores_layout = [core_l, core_s, core_m]
+    perms = _perms(sr_row)
+
+    cores_nat = np.zeros((3, 576, 1152), np.float64)
+    for c in range(3):
+        perm = perms[c]
         # xr_layout = xr_natural[perm] = xr_natural @ Q with
         # Q[perm[j], j] = 1, so the natural-order core is Q @ core.
         q = np.zeros((576, 576))
         q[perm, np.arange(576)] = 1.0
-        cores_nat[c] = (q @ cores_layout[c]).astype(np.float32)
+        cores_nat[c] = q @ cores_layout[c]
 
-    # Numpy on purpose: conversion happens at the pallas bind, so a call
-    # inside an enclosing jit cannot cache device arrays across traces.
-    return (
-        cores_nat,
-        slot_nat,
-        win_nat,
-        pretab_nat,
-        bs_nat,
-        short_nat,
-        wins.astype(np.float32),
-    )
+    assert np.abs(cores_nat[2][36:] - cores_nat[1][36:]).max() < 1e-9
+    cores2 = np.ascontiguousarray(cores_nat[:2]).astype(np.float32)
+    head = np.ascontiguousarray(cores_nat[2][:36]).astype(np.float32)
+    return cores2, head, wins.astype(np.float32)
 
 
 def _kernel_body(n_channels: int):
@@ -202,24 +237,11 @@ def _kernel_body(n_channels: int):
         right = jnp.where(apply_i, kr * x0, right)
         return left, right
 
-    def hybrid(xr, cls, gm, cores_ref, wins_ref):
-        zs = [
-            jnp.dot(xr, cores_ref[c], precision=lax.Precision.HIGHEST,
-                    preferred_element_type=f32)
-            for c in range(3)
-        ]
-        bt = gm[:, GM_BT : GM_BT + 1].astype(f32)
-        win = jnp.where(
-            bt == 1.0, wins_ref[1:2, :],
-            jnp.where(bt == 3.0, wins_ref[3:4, :], wins_ref[0:1, :]),
-        )
-        return sel_cls(cls, [zs[0] * win, zs[1], zs[2]])
-
     if n_channels == 2:
 
         def kernel(s0_ref, s1_ref, scf0_ref, scf1_ref, gm0_ref, gm1_ref,
-                   cores_ref, slot_ref, winoh_ref, pre_ref, bs_ref,
-                   short_ref, wins_ref, z0_ref, z1_ref):
+                   slot_ref, winoh_ref, pre_ref, bs_ref, short_ref,
+                   x0_ref, x1_ref):
             gm0 = gm0_ref[0]
             gm1 = gm1_ref[0]
             x0, _, cls0 = requant(s0_ref[0], scf0_ref[0], gm0, slot_ref,
@@ -228,17 +250,17 @@ def _kernel_body(n_channels: int):
                                        slot_ref, winoh_ref, pre_ref,
                                        short_ref)
             left, right = stereo(x0, x1, scf_s1, cls0, gm0, gm1, bs_ref)
-            z0_ref[0] = hybrid(left, cls0, gm0, cores_ref, wins_ref)
-            z1_ref[0] = hybrid(right, cls1, gm1, cores_ref, wins_ref)
+            x0_ref[0] = left
+            x1_ref[0] = right
 
         return kernel
 
-    def kernel(s0_ref, scf0_ref, gm0_ref, cores_ref, slot_ref, winoh_ref,
-               pre_ref, bs_ref, short_ref, wins_ref, z0_ref):
+    def kernel(s0_ref, scf0_ref, gm0_ref, slot_ref, winoh_ref, pre_ref,
+               bs_ref, short_ref, x0_ref):
         gm0 = gm0_ref[0]
-        x0, _, cls0 = requant(s0_ref[0], scf0_ref[0], gm0, slot_ref,
-                              winoh_ref, pre_ref, short_ref)
-        z0_ref[0] = hybrid(x0, cls0, gm0, cores_ref, wins_ref)
+        x0, _, _ = requant(s0_ref[0], scf0_ref[0], gm0, slot_ref,
+                           winoh_ref, pre_ref, short_ref)
+        x0_ref[0] = x0
 
     return kernel
 
@@ -272,16 +294,14 @@ def _fused_call(n_channels: int, n_tiles: int, interpret: bool):
         data_specs = [data_specs[i] for i in order]
 
     const_specs = [
-        const_block((3, 576, 1152)),
         const_block((3, 64, 576)),
         const_block((3, 3, 576)),
         const_block((3, 576)),
         const_block((3, 576)),
         const_block((3, 576)),
-        const_block((4, 1152)),
     ]
     out_specs = tuple(
-        pl.BlockSpec((1, TILE, 1152), lambda i: (0, i, 0),
+        pl.BlockSpec((1, TILE, 576), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(n_channels)
     )
@@ -293,20 +313,21 @@ def _fused_call(n_channels: int, n_tiles: int, interpret: bool):
             in_specs=data_specs + const_specs,
             out_specs=out_specs if n_channels == 2 else out_specs[0],
             out_shape=tuple(
-                jax.ShapeDtypeStruct((1, rows, 1152), jnp.float32)
+                jax.ShapeDtypeStruct((1, rows, 576), jnp.float32)
                 for _ in range(n_channels)
             ) if n_channels == 2 else jax.ShapeDtypeStruct(
-                (1, rows, 1152), jnp.float32),
+                (1, rows, 576), jnp.float32),
             interpret=interpret,
         )
 
     return make(n_tiles * TILE)
 
 
-def fused_hybrid(spec_cm, scf_cm, gmeta_cm, *, n_channels: int,
-                 sr_row: int, interpret: bool = False):
+def fused_requant_stereo(spec_cm, scf_cm, gmeta_cm, *, n_channels: int,
+                         sr_row: int, interpret: bool = False):
     """(C, R, 576) int16 spectra + (C, R, 64) scf + (C, R, GM_N) gmeta
-    → (C, R, 1152) windowed hybrid outputs (head|tail column order).
+    → (C, R, 576) requantized, stereo-processed spectra in NATURAL
+    spectral order (feed natural_cores GEMMs — no reorder needed).
 
     R must be a multiple of TILE (callers pad; zero rows produce zero
     output). Rows are granule-times, channel-major."""
@@ -314,16 +335,44 @@ def fused_hybrid(spec_cm, scf_cm, gmeta_cm, *, n_channels: int,
     assert c == n_channels and r % TILE == 0, (spec_cm.shape, n_channels)
     consts = _consts(sr_row)
     call = _fused_call(n_channels, r // TILE, interpret)
-    planes = []
     if n_channels == 2:
         args = (
             spec_cm[0:1], spec_cm[1:2],
             scf_cm[0:1], scf_cm[1:2],
             gmeta_cm[0:1], gmeta_cm[1:2],
         )
-        z0, z1 = call(*args, *consts)
-        planes = [z0, z1]
+        x0, x1 = call(*args, *consts)
+        planes = [x0, x1]
     else:
-        z0 = call(spec_cm[0:1], scf_cm[0:1], gmeta_cm[0:1], *consts)
-        planes = [z0]
-    return jnp.concatenate(planes, axis=0)  # (C, R, 1152)
+        x0 = call(spec_cm[0:1], scf_cm[0:1], gmeta_cm[0:1], *consts)
+        planes = [x0]
+    return jnp.concatenate(planes, axis=0)  # (C, R, 576)
+
+
+def hybrid_xla(xr_cm, gmeta_cm, *, sr_row: int, dtype=jnp.float32):
+    """Natural-order spectra → windowed hybrid outputs via the 2-core
+    masked decomposition, as plain XLA GEMMs (see module docstring:
+    XLA's large-GEMM lowering beats Mosaic dots ~4× on these shapes).
+
+    xr_cm (C, R, 576) f32, gmeta_cm (C, R, GM_N) int32 →
+    (C, R, 1152) head|tail hybrid outputs. Runs at HIGH matmul
+    precision (bf16x3) like the rest of the decode back-end."""
+    cores2, head, wins = natural_cores(sr_row)
+    cls = gmeta_cm[..., GM_CLS : GM_CLS + 1]
+    lane = lax.broadcasted_iota(jnp.int32, xr_cm.shape, xr_cm.ndim - 1)
+    xa = jnp.where(cls == 0, xr_cm, 0.0)
+    xb = jnp.where((cls == 1) | ((cls == 2) & (lane >= 36)), xr_cm, 0.0)
+    xc = jnp.where(cls == 2, xr_cm[..., :36], 0.0)
+    with jax.default_matmul_precision("high"):
+        za = jnp.dot(xa, jnp.asarray(cores2[0], dtype),
+                     preferred_element_type=dtype)
+        zb = jnp.dot(xb, jnp.asarray(cores2[1], dtype),
+                     preferred_element_type=dtype)
+        zc = jnp.dot(xc, jnp.asarray(head, dtype),
+                     preferred_element_type=dtype)
+    bt = gmeta_cm[..., GM_BT : GM_BT + 1]
+    wins = jnp.asarray(wins, dtype)
+    win = jnp.where(
+        bt == 1, wins[1], jnp.where(bt == 3, wins[3], wins[0])
+    )
+    return za * win + zb + zc

@@ -185,12 +185,14 @@ def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
 def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
                          valid_samples, *, n_channels: int,
                          sample_rate: int, dtype, interpret: bool):
-    """Channel-major fused tail: rowmap gather → Pallas fused hybrid →
-    overlap-add → fused polyphase GEMMs → IIR → histogram.
+    """Channel-major fused tail: rowmap gather → Pallas requant+stereo
+    kernel → XLA 2-core hybrid GEMMs → overlap-add → fused polyphase
+    GEMMs → IIR → histogram.
 
-    Everything between the gathered int16 spectrum and the (C, R, 1152)
-    hybrid output stays in VMEM (decode/hybrid_kernel); the XLA section
-    is only structural (shifts, two GEMMs, reductions)."""
+    The elementwise requantize→stereo span runs block-resident in
+    Pallas (one HBM pass, decode/hybrid_kernel); the class-core GEMMs
+    run in XLA, where the large-GEMM lowering beats Mosaic dots ~4× on
+    these shapes (see decode/hybrid_kernel module docstring)."""
     from ..decode import hybrid_kernel as hk
     from ..decode import synthesis
     from ..decode.format_tables import SR_ROW
@@ -244,12 +246,15 @@ def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
             x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * len(tailshape))
         return x
 
-    z = hk.fused_hybrid(
+    gmeta_flat = flat(gmeta_cm, (hk.GM_N,))
+    xr = hk.fused_requant_stereo(
         flat(spec_cm, (576,)),
         flat(scf_cm, (fe.SCF_SLOTS,)).astype(jnp.int8),
-        flat(gmeta_cm, (hk.GM_N,)),
+        gmeta_flat,
         n_channels=nch, sr_row=SR_ROW[sample_rate], interpret=interpret,
-    )  # (C, Rp, 1152)
+    )  # (C, Rp, 576) natural order
+    z = hk.hybrid_xla(xr, gmeta_flat, sr_row=SR_ROW[sample_rate],
+                      dtype=jnp.float32)  # (C, Rp, 1152)
     z = z[:, :r].reshape(nch, bsz, t, 1152)
 
     head = z[..., :576]
