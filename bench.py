@@ -259,7 +259,7 @@ def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
     m4a = fixtures.encode_m4a(stereo, sr, bitrate=192000)
 
     t0 = time.monotonic()
-    u = af.unpack_data(m4a)
+    u = af.unpack_adts(af.mp4_to_adts(m4a))
     host_dt = time.monotonic() - t0
     nch = u.n_channels or 2
     track_sec = ((u.n // nch) * 1024) / sr
