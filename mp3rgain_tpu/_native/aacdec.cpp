@@ -15,10 +15,40 @@
 #include "aac_tables.h"
 
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 
 namespace {
+
+// Stage-time attribution, enabled with MP3RGAIN_AAC_TIME=1 (stderr dump
+// per mg_aac_unpack_adts call). Accumulators are process-global; the
+// unpack entry point is called with the GIL released but from one
+// thread per file, so contention only skews the diagnostic, not decode.
+struct AacTiming {
+  bool enabled = [] {
+    const char* e = getenv("MP3RGAIN_AAC_TIME");
+    return e && e[0] && e[0] != '0';
+  }();
+  double reset = 0, huff = 0, requant = 0, post = 0, total = 0;
+  static double now() {
+    timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+  }
+  void dump() {
+    fprintf(stderr,
+            "aac host stages: reset %.1f ms, huffman+parse %.1f ms, "
+            "requant %.1f ms, pns/stereo/tns %.1f ms, other %.1f ms "
+            "(total %.1f ms)\n",
+            reset * 1e3, huff * 1e3, requant * 1e3, post * 1e3,
+            (total - reset - huff - requant - post) * 1e3, total * 1e3);
+    reset = huff = requant = post = total = 0;
+  }
+};
+AacTiming g_aac_timing;
 
 // ---------------------------------------------------------------------------
 // Bit reader
@@ -200,6 +230,27 @@ struct Channel {
 
 constexpr int CB_ZERO = 0, CB_NOISE = 13, CB_IS_MINUS = 14, CB_IS_PLUS = 15;
 
+// |q|^(4/3) with sign, via a table over the non-escape magnitude range
+// (pow() per coefficient was the hottest host-side operation by far).
+// Escape magnitudes (codebook 11, up to 2^16 + 2^16-1) take the pow path.
+constexpr int kReq43Size = 8207;  // max LAV 8191 + max pulse amplitude 15
+
+const double* req43_table() {
+  static const std::vector<double> table = [] {
+    std::vector<double> t(kReq43Size);
+    for (int i = 0; i < kReq43Size; ++i) t[i] = pow(double(i), 4.0 / 3.0);
+    return t;
+  }();
+  return table.data();
+}
+
+inline double requant43(int32_t x) {
+  const int32_t a = x < 0 ? -x : x;
+  const double m =
+      a < kReq43Size ? req43_table()[a] : pow(double(a), 4.0 / 3.0);
+  return x < 0 ? -m : m;
+}
+
 bool parse_ics_info(BitReader* br, int sr_index, IcsInfo* ics) {
   br->skip(1);  // ics_reserved_bit
   ics->window_sequence = br->get(2);
@@ -366,7 +417,8 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
   const IcsInfo& ics = ch->ics;
   const VlcSet& v = vlcs();
   // coefficients in decode (grouped/interleaved) order
-  float coef[1024] = {};
+  const double t0 = g_aac_timing.enabled ? AacTiming::now() : 0;
+  int32_t coef[1024] = {};
   int group_offset = 0;
 
   for (int g = 0; g < ics.num_window_groups; ++g) {
@@ -407,10 +459,19 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
           }
         }
         // Bitstream order: all sign bits for the tuple, then escape
-        // sequences per coefficient (ISO 14496-3 spectral_data()).
+        // sequences per coefficient (ISO 14496-3 spectral_data()). All
+        // sign bits are fetched in one read (first nonzero gets the
+        // most-significant bit).
         if (uns) {
-          for (int d = 0; d < dim; ++d) {
-            if (vals[d] && br->get(1)) vals[d] = -vals[d];
+          int nnz = 0;
+          for (int d = 0; d < dim; ++d) nnz += vals[d] != 0;
+          if (nnz) {
+            uint32_t sb = br->get(nnz);
+            for (int d = 0; d < dim; ++d) {
+              if (vals[d]) {
+                if ((sb >> --nnz) & 1) vals[d] = -vals[d];
+              }
+            }
           }
         }
         for (int d = 0; d < dim; ++d) {
@@ -424,7 +485,7 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
           }
           // position: within group g, band k, interleaved by window
           const int pos = group_offset + band_start * glen + i + d;
-          if (pos < 1024) coef[pos] = static_cast<float>(val);
+          if (pos < 1024) coef[pos] = val;
         }
       }
     }
@@ -442,40 +503,59 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
       k += pulse->offset[j];
       if (k >= 1024) return false;
       if (coef[k] > 0) {
-        coef[k] += static_cast<float>(pulse->amp[j]);
+        coef[k] += pulse->amp[j];
       } else {
-        coef[k] -= static_cast<float>(pulse->amp[j]);
+        coef[k] -= pulse->amp[j];
       }
     }
   }
 
   // Requantize + map grouped/interleaved order to natural window order.
-  group_offset = 0;
-  for (int g = 0; g < ics.num_window_groups; ++g) {
-    const int glen = ics.group_len[g];
-    for (int k = 0; k < ics.num_swb && k < 64; ++k) {
-      const int cb = k < ics.max_sfb ? ch->band_cb[g][k] : CB_ZERO;
-      const int band_start = ics.swb_offset[k];
-      const int band_end = ics.swb_offset[k + 1];
-      const double gain = ch->sf[g][k];
-      for (int w = 0; w < glen; ++w) {
-        for (int i = band_start; i < band_end; ++i) {
-          const int src = group_offset + band_start * glen + (i - band_start) +
-                          w * (band_end - band_start);
-          const int win = (group_offset / 128) + w;
-          const int dst = ics.window_sequence == EIGHT_SHORT
-                              ? win * 128 + i
-                              : i;
-          if (src >= 1024 || dst >= 1024) continue;
-          if (cb >= 1 && cb <= 11) {
-            const double x = coef[src];
-            ch->spec[dst] = static_cast<float>(
-                (x < 0 ? -1.0 : 1.0) * pow(fabs(x), 4.0 / 3.0) * gain);
+  // spec[] is zero-initialized, so zero coefficients and non-coding
+  // bands (zero/noise/intensity) are skipped outright.
+  const double t1 = g_aac_timing.enabled ? AacTiming::now() : 0;
+  if (ics.window_sequence != EIGHT_SHORT) {
+    // Long windows: one group of one window — decode order IS natural
+    // order, so this is a straight sparse pass over the coded bands.
+    for (int k = 0; k < ics.max_sfb && k < 64; ++k) {
+      const int cb = ch->band_cb[0][k];
+      if (cb < 1 || cb > 11) continue;
+      const double gain = ch->sf[0][k];
+      const int end = ics.swb_offset[k + 1] < 1024 ? ics.swb_offset[k + 1]
+                                                   : 1024;
+      for (int i = ics.swb_offset[k]; i < end; ++i) {
+        const int32_t x = coef[i];
+        if (x) ch->spec[i] = static_cast<float>(requant43(x) * gain);
+      }
+    }
+  } else {
+    group_offset = 0;
+    for (int g = 0; g < ics.num_window_groups; ++g) {
+      const int glen = ics.group_len[g];
+      const int win0 = group_offset / 128;
+      for (int k = 0; k < ics.max_sfb && k < 64; ++k) {
+        const int cb = ch->band_cb[g][k];
+        if (cb < 1 || cb > 11) continue;
+        const int band_start = ics.swb_offset[k];
+        const int band_end = ics.swb_offset[k + 1];
+        const double gain = ch->sf[g][k];
+        int src = group_offset + band_start * glen;
+        for (int w = 0; w < glen; ++w) {
+          const int dst0 = (win0 + w) * 128;
+          for (int i = band_start; i < band_end; ++i, ++src) {
+            const int dst = dst0 + i;
+            if (src >= 1024 || dst >= 1024) continue;
+            const int32_t x = coef[src];
+            if (x) ch->spec[dst] = static_cast<float>(requant43(x) * gain);
           }
         }
       }
+      group_offset += glen * 128;
     }
-    group_offset += glen * 128;
+  }
+  if (g_aac_timing.enabled) {
+    g_aac_timing.huff += t1 - t0;
+    g_aac_timing.requant += AacTiming::now() - t1;
   }
   return true;
 }
@@ -644,6 +724,7 @@ int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
   static const int kSr[16] = {96000, 88200, 64000, 48000, 44100, 32000,
                               24000, 22050, 16000, 12000, 11025, 8000,
                               0, 0, 0, 0};
+  const double tt0 = g_aac_timing.enabled ? AacTiming::now() : 0;
   int64_t n_out = 0;
   int64_t frame_idx = 0;
   uint32_t rng_state = 0x1f2e3d4c;
@@ -669,8 +750,10 @@ int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
     const size_t header = protection_absent ? 7 : 9;
     BitReader br{data + pos + header, full_len - header, 0};
 
+    const double tr0 = g_aac_timing.enabled ? AacTiming::now() : 0;
     chans[0] = Channel();
     chans[1] = Channel();
+    if (g_aac_timing.enabled) g_aac_timing.reset += AacTiming::now() - tr0;
     int nch = 0;
     bool ok = true;
 
@@ -705,11 +788,14 @@ int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
         ok = parse_ics(&br, sr_index, common_window, &shared, &chans[0]) &&
              parse_ics(&br, sr_index, common_window, &shared, &chans[1]);
         if (ok) {
+          const double tp0 = g_aac_timing.enabled ? AacTiming::now() : 0;
           apply_pns(&chans[0], &rng_state);
           apply_pns(&chans[1], &rng_state);
           if (common_window) {
             apply_stereo(&chans[0], &chans[1], ms_mask, ms_type);
           }
+          if (g_aac_timing.enabled)
+            g_aac_timing.post += AacTiming::now() - tp0;
         }
         nch = 2;
       } else if (id == 4) {  // DSE
@@ -730,6 +816,7 @@ int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
       }
     }
 
+    const double tp1 = g_aac_timing.enabled ? AacTiming::now() : 0;
     if (nch == 1 && ok) apply_pns(&chans[0], &rng_state);
     const int out_ch = nch == 0 ? (ch_conf == 1 ? 1 : 2) : nch;
     for (int c = 0; c < out_ch; ++c) {
@@ -754,8 +841,13 @@ int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
         in[7] = (ch.tns_present ? 1 : 0) | ch.dbg_flags;  // diagnostics
       }
     }
+    if (g_aac_timing.enabled) g_aac_timing.post += AacTiming::now() - tp1;
     ++frame_idx;
     pos += full_len;
+  }
+  if (g_aac_timing.enabled) {
+    g_aac_timing.total += AacTiming::now() - tt0;
+    g_aac_timing.dump();
   }
   return n_out;
 }

@@ -126,11 +126,16 @@ def natural_cores(sr_row: int):
     """Fused hybrid class cores in NATURAL spectral-input order, in the
     2-core + mixed-head decomposition used by the XLA GEMM side.
 
-    Returns (cores2 (2, 576, 1152) f32 [long, short], head (36, 1152)
-    f32, wins (4, 1152) f32). The mixed core is not materialized: its
-    rows 36..575 are exactly the short core's (the short tail of a
-    mixed block aliases/windows identically), so mixed rows decompose
-    as z = (x·tail) @ C_short + x[:, :36] @ head."""
+    Returns (cores2 (2, 576, 1152) f32 [long, short], head (P, 1152)
+    f32, P, wins (4, 1152) f32). The mixed core is not materialized: in
+    natural order its rows P..575 equal the short core's exactly (the
+    short tail of a mixed block aliases/windows identically), so mixed
+    rows decompose as z = (x·tail) @ C_short + x[:, :P] @ head. The
+    split point P is DETECTED per sample-rate row: the mixed long
+    region is 36 samples for MPEG-1 rows but wider for LSF rows, and
+    the natural-order tail identity only starts past the widest
+    scalefactor band that the two reorder permutations treat
+    differently."""
     from .synthesis import _fused_hybrid_cores
 
     core_l, core_s, core_m, wins = _fused_hybrid_cores()
@@ -146,10 +151,13 @@ def natural_cores(sr_row: int):
         q[perm, np.arange(576)] = 1.0
         cores_nat[c] = q @ cores_layout[c]
 
-    assert np.abs(cores_nat[2][36:] - cores_nat[1][36:]).max() < 1e-9
+    row_diff = np.abs(cores_nat[2] - cores_nat[1]).max(axis=1)
+    nz = np.nonzero(row_diff > 1e-9)[0]
+    p = int(nz.max()) + 1 if nz.size else 0
+    assert p <= 288, (sr_row, p)  # long region never reaches half a granule
     cores2 = np.ascontiguousarray(cores_nat[:2]).astype(np.float32)
-    head = np.ascontiguousarray(cores_nat[2][:36]).astype(np.float32)
-    return cores2, head, wins.astype(np.float32)
+    head = np.ascontiguousarray(cores_nat[2][:p]).astype(np.float32)
+    return cores2, head, p, wins.astype(np.float32)
 
 
 def _kernel_body(n_channels: int):
@@ -357,12 +365,12 @@ def hybrid_xla(xr_cm, gmeta_cm, *, sr_row: int, dtype=jnp.float32):
     xr_cm (C, R, 576) f32, gmeta_cm (C, R, GM_N) int32 →
     (C, R, 1152) head|tail hybrid outputs. Runs at HIGH matmul
     precision (bf16x3) like the rest of the decode back-end."""
-    cores2, head, wins = natural_cores(sr_row)
+    cores2, head, p, wins = natural_cores(sr_row)
     cls = gmeta_cm[..., GM_CLS : GM_CLS + 1]
     lane = lax.broadcasted_iota(jnp.int32, xr_cm.shape, xr_cm.ndim - 1)
     xa = jnp.where(cls == 0, xr_cm, 0.0)
-    xb = jnp.where((cls == 1) | ((cls == 2) & (lane >= 36)), xr_cm, 0.0)
-    xc = jnp.where(cls == 2, xr_cm[..., :36], 0.0)
+    xb = jnp.where((cls == 1) | ((cls == 2) & (lane >= p)), xr_cm, 0.0)
+    xc = jnp.where(cls == 2, xr_cm[..., :p], 0.0)
     with jax.default_matmul_precision("high"):
         za = jnp.dot(xa, jnp.asarray(cores2[0], dtype),
                      preferred_element_type=dtype)

@@ -88,3 +88,26 @@ def test_fused_hybrid_short_blocks():
     pcm = np.stack([pcm, np.roll(pcm, 3)], axis=1)
     data = fixtures.encode_mp3(pcm, sr, bitrate=128, mode=fixtures.MODE_STEREO)
     _run_both([data], sr, 2)
+
+
+def test_natural_cores_decomposition_all_rates():
+    """The 2-core + mixed-head decomposition must reproduce the full
+    mixed-class core for EVERY sample-rate row: the split point P is
+    rate-dependent (36 for MPEG-1 rows, wider for LSF rows — the bug
+    that motivated this test shipped a hardcoded 36)."""
+    from mp3rgain_tpu.decode import hybrid_kernel as hk
+    from mp3rgain_tpu.decode.synthesis import _fused_hybrid_cores
+
+    _, _, core_m, _ = _fused_hybrid_cores()
+    for sr_row in range(9):
+        cores2, head, p, _ = hk.natural_cores(sr_row)
+        perm = hk._perms(sr_row)[2]
+        q = np.zeros((576, 576))
+        q[perm, np.arange(576)] = 1.0
+        mixed_nat = q @ core_m
+
+        rng = np.random.default_rng(sr_row)
+        x = rng.standard_normal(576)
+        want = x @ mixed_nat
+        got = x[p:] @ cores2[1][p:] + x[:p] @ head
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
