@@ -259,7 +259,7 @@ def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
     m4a = fixtures.encode_m4a(stereo, sr, bitrate=192000)
 
     t0 = time.monotonic()
-    u = af.unpack_adts(af.mp4_to_adts(m4a))
+    u = af.unpack_adts(af.mp4_to_adts(m4a), f16=True)
     host_dt = time.monotonic() - t0
     nch = u.n_channels or 2
     track_sec = ((u.n // nch) * 1024) / sr
@@ -278,9 +278,9 @@ def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
 
     fn0 = aac._batch_fn(nch, sr, jnp.float32)
 
-    def fn(bump, spec, wseq, wshape, valid):
-        return fn0(spec + (bump % 3).astype(spec.dtype) * 1e-6, wseq,
-                   wshape, valid)
+    def fn(bump, spec, sexp, wseq, wshape, valid):
+        return fn0(spec + (bump % 3).astype(spec.dtype) * jnp.asarray(
+            1e-3, spec.dtype), sexp, wseq, wshape, valid)
 
     audio_seconds = track_sec * tracks
     wall = _measure(jax.jit(fn), dev_args, lambda o: (o[2][:1] * 0).astype("int32")[0],

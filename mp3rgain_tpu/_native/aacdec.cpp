@@ -699,6 +699,54 @@ bool parse_ics(BitReader* br, int sr_index, bool common_window,
   return parse_spectral_data(br, ch, &pulse);
 }
 
+// Portable float32 -> float16 (round-to-nearest-even). Inputs are
+// pre-scaled to |x| <= ~2^14 so overflow only guards pathological
+// escape-heavy frames.
+inline uint16_t f32_to_f16(float f) {
+  uint32_t x;
+  __builtin_memcpy(&x, &f, 4);
+  const uint16_t sign = (x >> 16) & 0x8000;
+  const int32_t e = static_cast<int32_t>((x >> 23) & 0xFF) - 127 + 15;
+  uint32_t m = x & 0x7FFFFF;
+  if (e >= 31) return sign | 0x7C00;  // overflow -> inf
+  if (e <= 0) {                       // subnormal or zero
+    if (e < -10) return sign;
+    m |= 0x800000;
+    const int shift = 14 - e;  // 14..24
+    uint16_t v = static_cast<uint16_t>(m >> shift);
+    const uint32_t rem = m & ((1u << shift) - 1);
+    const uint32_t half = 1u << (shift - 1);
+    if (rem > half || (rem == half && (v & 1))) ++v;
+    return sign | v;
+  }
+  uint16_t v = static_cast<uint16_t>((e << 10) | (m >> 13));
+  const uint32_t rem = m & 0x1FFF;
+  if (rem > 0x1000 || (rem == 0x1000 && (v & 1))) ++v;  // carry ok
+  return sign | v;
+}
+
+// Write one frame-channel's spectrum as block-scaled float16: spec16 =
+// f16(spec * 2^-e) with e = max(0, ilogb(max|spec|) - 13), so the
+// frame's largest magnitude lands in [2^13, 2^14) — full f16 mantissa
+// precision on the dominant coefficients, ~5e-4 relative error overall
+// (inside every acceptance tolerance; the f32 format remains for the
+// decoder oracle paths).
+inline int8_t spec_to_f16(const float* spec, uint16_t* out) {
+  float maxabs = 0.0f;
+  for (int i = 0; i < 1024; ++i) {
+    const float a = fabsf(spec[i]);
+    if (a > maxabs) maxabs = a;
+  }
+  int e = 0;
+  if (maxabs > 0.0f) {
+    e = ilogbf(maxabs) - 13;
+    if (e < 0) e = 0;
+  }
+  const float scale = e ? exp2f(static_cast<float>(-e)) : 1.0f;
+  for (int i = 0; i < 1024; ++i) out[i] = f32_to_f16(spec[i] * scale);
+  return static_cast<int8_t>(e);
+}
+
 }  // namespace
 
 extern "C" {
@@ -717,10 +765,12 @@ enum {
 };
 
 // Unpack an ADTS AAC-LC stream into natural-order requantized spectra.
-// spec: (cap, 1024) f32; info: (cap, AAC_INFO_N) i32.
+// Exactly one of `spec` (f32) / `spec16`+`sexp` (block-scaled f16 +
+// per-frame exponent) is non-null; info: (cap, AAC_INFO_N) i32.
 // Returns frame-channel count (retry with larger cap if > cap).
-int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
-                           int32_t* info, int64_t cap) {
+static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
+                                float* spec, uint16_t* spec16,
+                                int8_t* sexp, int32_t* info, int64_t cap) {
   static const int kSr[16] = {96000, 88200, 64000, 48000, 44100, 32000,
                               24000, 22050, 16000, 12000, 11025, 8000,
                               0, 0, 0, 0};
@@ -824,12 +874,22 @@ int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
       if (ok) apply_tns(&ch);
       const int64_t rec = n_out++;
       if (rec < cap) {
-        float* sp = spec + rec * 1024;
         int32_t* in = info + rec * AAC_INFO_N;
-        if (ok) {
-          memcpy(sp, ch.spec, sizeof(ch.spec));
+        if (spec) {
+          float* sp = spec + rec * 1024;
+          if (ok) {
+            memcpy(sp, ch.spec, sizeof(ch.spec));
+          } else {
+            memset(sp, 0, 1024 * sizeof(float));
+          }
         } else {
-          memset(sp, 0, 1024 * sizeof(float));
+          uint16_t* sp = spec16 + rec * 1024;
+          if (ok) {
+            sexp[rec] = spec_to_f16(ch.spec, sp);
+          } else {
+            memset(sp, 0, 1024 * sizeof(uint16_t));
+            sexp[rec] = 0;
+          }
         }
         in[AAC_FRAME] = static_cast<int32_t>(frame_idx);
         in[AAC_CHANNEL] = c;
@@ -850,6 +910,19 @@ int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
     g_aac_timing.dump();
   }
   return n_out;
+}
+
+int64_t mg_aac_unpack_adts(const uint8_t* data, size_t len, float* spec,
+                           int32_t* info, int64_t cap) {
+  return unpack_adts_impl(data, len, spec, nullptr, nullptr, info, cap);
+}
+
+// Half-precision variant for the batch analysis path: halves the
+// host->device payload; the f32 variant remains the decoder oracle.
+int64_t mg_aac_unpack_adts_f16(const uint8_t* data, size_t len,
+                               uint16_t* spec16, int8_t* sexp,
+                               int32_t* info, int64_t cap) {
+  return unpack_adts_impl(data, len, nullptr, spec16, sexp, info, cap);
 }
 
 }  // extern "C"

@@ -46,7 +46,11 @@ def _batch_fn(n_channels: int, sample_rate: int, dtype):
     for the same reasons as the MP3 path: compiled executables must
     survive caller churn, and per-track lengths must not each compile."""
 
-    def core(spec, window_seq, window_shape, valid_samples):
+    def core(spec, sexp, window_seq, window_shape, valid_samples):
+        # Block-scaled f16 transfer format: true spectrum is
+        # spec * 2^sexp (sexp all-zero when the host shipped f32).
+        spec = spec.astype(dtype) * jnp.exp2(sexp.astype(dtype))[..., None]
+
         def one(args):
             return aac_synthesis._decode_jit(
                 *args, n_channels=n_channels, dtype=dtype
@@ -72,7 +76,10 @@ def prepare_batch_arrays_aac(unpacked: list, n_channels: int):
     """Pad AAC tracks to ladder-quantized (B, F) shapes for _batch_fn.
 
     Zero-spectrum padding frames decode to zero PCM; everything past a
-    track's valid_samples is masked out of peak and histogram."""
+    track's valid_samples is masked out of peak and histogram. When
+    every track was unpacked with f16=True the batch ships block-scaled
+    float16 + per-frame exponents (half the h2d payload); otherwise
+    float32 with zero exponents (f16 entries upconvert exactly)."""
     from .parallel.runner import _B_LADDER, _quantize_up
 
     bsz = len(unpacked)
@@ -80,17 +87,27 @@ def prepare_batch_arrays_aac(unpacked: list, n_channels: int):
     f_max = _quantize_up(max(f_max, n_channels), n_channels, base=128,
                          ratio=1.3)
     bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
-    spec = np.zeros((bpad, f_max, 1024), np.float32)
+    all_f16 = all(u.spec16 is not None for u in unpacked)
+    spec = np.zeros((bpad, f_max, 1024),
+                    np.float16 if all_f16 else np.float32)
+    sexp = np.zeros((bpad, f_max), np.int8)
     wseq = np.zeros((bpad, f_max), np.int32)
     wshape = np.zeros((bpad, f_max), np.int32)
     valid = np.zeros(bpad, np.int32)
     for i, u in enumerate(unpacked):
         n = (u.n // n_channels) * n_channels
-        spec[i, :n] = u.spec[:n]
+        if all_f16:
+            spec[i, :n] = u.spec16[:n]
+            sexp[i, :n] = u.sexp[:n]
+        elif u.spec16 is not None:
+            spec[i, :n] = u.spec16[:n].astype(np.float32)
+            spec[i, :n] *= np.exp2(u.sexp[:n].astype(np.float32))[:, None]
+        else:
+            spec[i, :n] = u.spec[:n]
         wseq[i, :n] = u.info[:n, af.WINDOW_SEQ]
         wshape[i, :n] = u.info[:n, af.WINDOW_SHAPE]
         valid[i] = (n // n_channels) * 1024
-    return spec, wseq, wshape, valid
+    return spec, sexp, wseq, wshape, valid
 
 
 def analyze_batch(unpacked: list, sample_rate: int, n_channels: int,
@@ -112,7 +129,7 @@ def analyze_batch(unpacked: list, sample_rate: int, n_channels: int,
 
 
 def _analyze_on_device(path, dtype, track_index=None):
-    u = af.unpack_file(path, track_index=track_index)
+    u = af.unpack_file(path, track_index=track_index, f16=True)
     if u.n == 0:
         raise AacError("No decodable AAC frames found")
     nch = u.n_channels or 1

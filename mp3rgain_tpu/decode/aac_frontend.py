@@ -33,6 +33,13 @@ _lib.mg_aac_unpack_adts.argtypes = [
     ctypes.c_int64,
 ]
 
+_lib.mg_aac_unpack_adts_f16.restype = ctypes.c_int64
+_lib.mg_aac_unpack_adts_f16.argtypes = [
+    _u8p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int8),
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+]
+
 ADTS_SR_INDEX = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
                  24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
 SR_FROM_INDEX = {v: k for k, v in ADTS_SR_INDEX.items()}
@@ -40,8 +47,13 @@ SR_FROM_INDEX = {v: k for k, v in ADTS_SR_INDEX.items()}
 
 @dataclass
 class UnpackedAac:
-    spec: np.ndarray  # (n, 1024) float32, natural window order
+    spec: np.ndarray | None  # (n, 1024) float32, natural window order
     info: np.ndarray  # (n, INFO_N) int32
+    # Block-scaled half-precision form (f16=True): true spectrum is
+    # spec16 * 2^sexp[:, None]. Halves the host->device payload; the
+    # f32 form remains the decoder-oracle path.
+    spec16: np.ndarray | None = None  # (n, 1024) float16
+    sexp: np.ndarray | None = None  # (n,) int8 per-frame exponent
 
     @property
     def n(self) -> int:
@@ -56,18 +68,31 @@ class UnpackedAac:
         return int(self.info[0, NCH]) if self.n else 0
 
 
-def unpack_adts(data: bytes) -> UnpackedAac:
+def unpack_adts(data: bytes, f16: bool = False) -> UnpackedAac:
     cap = max(64, len(data) // 64)
     while True:
-        spec = np.zeros((cap, 1024), dtype=np.float32)
         info = np.zeros((cap, INFO_N), dtype=np.int32)
-        n = _lib.mg_aac_unpack_adts(
-            _inbuf(data), len(data),
-            spec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
-        )
-        if n <= cap:
-            return UnpackedAac(spec=spec[:n], info=info[:n])
+        if f16:
+            spec16 = np.zeros((cap, 1024), dtype=np.float16)
+            sexp = np.zeros(cap, dtype=np.int8)
+            n = _lib.mg_aac_unpack_adts_f16(
+                _inbuf(data), len(data),
+                spec16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                sexp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            )
+            if n <= cap:
+                return UnpackedAac(spec=None, info=info[:n],
+                                   spec16=spec16[:n], sexp=sexp[:n])
+        else:
+            spec = np.zeros((cap, 1024), dtype=np.float32)
+            n = _lib.mg_aac_unpack_adts(
+                _inbuf(data), len(data),
+                spec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            )
+            if n <= cap:
+                return UnpackedAac(spec=spec[:n], info=info[:n])
         cap = int(n)
 
 
@@ -259,7 +284,8 @@ def _build_adts(data: bytes, sizes, offsets, asc) -> bytes:
     return bytes(out)
 
 
-def unpack_file(path, track_index: int | None = None) -> UnpackedAac:
+def unpack_file(path, track_index: int | None = None,
+                f16: bool = False) -> UnpackedAac:
     with open(path, "rb") as f:
         data = f.read()
     if data[4:8] == b"ftyp":
@@ -269,4 +295,4 @@ def unpack_file(path, track_index: int | None = None) -> UnpackedAac:
         raise Mp4DemuxError(
             f"Track index {track_index} out of range (file has 1 audio track(s))"
         )
-    return unpack_adts(data)
+    return unpack_adts(data, f16=f16)

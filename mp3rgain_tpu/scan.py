@@ -175,7 +175,7 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
     buckets: dict[tuple[int, int], list] = {}
     for p in paths:
         try:
-            u = af.unpack_file(p)
+            u = af.unpack_file(p, f16=True)
             if u.n == 0:
                 raise aac.AacError("No decodable AAC frames found")
         except Exception as e:

@@ -186,7 +186,9 @@ def test_aac_batch_matches_sequential(tmp_path):
         paths.append(p)
 
     seq = [aac.analyze_track_internal(p) for p in paths]
-    ups = [af.unpack_file(p) for p in paths]
+    # f16=True matches the production batch/scan transfer format — the
+    # equality contract below requires byte-identical device inputs.
+    ups = [af.unpack_file(p, f16=True) for p in paths]
     hists, louds, peaks = aac.analyze_batch(ups, 44100, 2)
     for j, s in enumerate(seq):
         assert float(louds[j]) == s.result.loudness_db
