@@ -17,6 +17,7 @@ lane; it cannot poison the scan.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -886,9 +887,28 @@ def analyze_library(
     else:
         dispatch = runner.dispatch_light
 
+    # Scan-stage attribution, enabled with MP3RGAIN_SCAN_TIME=1: one
+    # stderr line per collected batch (dispatch wall on the uploader
+    # thread, collect wait on the main thread, batch size).
+    scan_time = bool(os.environ.get("MP3RGAIN_SCAN_TIME"))
+
+    def _timed_dispatch(ups, sr, nch):
+        td0 = time.monotonic()
+        h = dispatch(ups, sr, nch)
+        return h, time.monotonic() - td0
+
     def collect_one():
         fut, idxs, sr = inflight.pop(0)
-        hist_dev, louds, peaks = runner.collect(fut.result())
+        tc0 = time.monotonic()
+        handle, dispatch_dt = fut.result()
+        hist_dev, louds, peaks = runner.collect(handle)
+        if scan_time:
+            print(
+                f"scan batch: n={len(idxs)} sr={sr} "
+                f"dispatch={dispatch_dt:.2f}s "
+                f"collect_wait={time.monotonic() - tc0:.2f}s",
+                file=sys.stderr, flush=True,
+            )
         if album:
             batch_sum = jnp.sum(hist_dev, axis=0)
             album_state["hist"] = (
@@ -924,7 +944,9 @@ def analyze_library(
         sr, nch = key
         idxs = [i for i, _ in members]
         ups = [u for _, u in members]
-        inflight.append((uploader.submit(dispatch, ups, sr, nch), idxs, sr))
+        inflight.append(
+            (uploader.submit(_timed_dispatch, ups, sr, nch), idxs, sr)
+        )
         while len(inflight) > 2:
             collect_one()
 

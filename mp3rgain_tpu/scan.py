@@ -126,27 +126,47 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
         (todo_aac if _detect_file_type(p) == "aac" else todo_mp3).append(p)
 
     if todo_mp3:
+        from concurrent.futures import ThreadPoolExecutor
+
         runner = parallel_runner.MeshRunner()
 
         # Checkpoint after every collected device batch so a killed scan
         # resumes from the last batch, not from zero. Histograms come
         # back in ONE stacked d2h transfer (per-track reads cost a slow
         # tunnel round trip each) and are cached back onto the outcome
-        # so nothing reads them from device twice.
-        def _checkpoint(done_tracks):
-            import jax.numpy as jnp
+        # so nothing reads them from device twice. The readback runs on
+        # a checkpoint thread: device→host is the slow direction on
+        # tunneled runtimes and its rate fluctuates, so keeping it off
+        # the collect path lets batch k's readback overlap batch k+1's
+        # dispatch/compute instead of serializing the whole scan on it.
+        ckpt_pool = ThreadPoolExecutor(max_workers=1)
+        ckpt_futs = []
 
-            hists = np.asarray(
-                jnp.stack([t.histogram for t in done_tracks])
-            )
+        def _readback_and_store(done_tracks, stacked):
+            hists = np.asarray(stacked)
             for track, hist in zip(done_tracks, hists):
                 track.histogram = hist
                 manifest.store(track.path, track.result, hist)
             manifest.save()
 
-        batch = parallel_runner.analyze_library(
-            todo_mp3, runner=runner, batch_cb=_checkpoint
-        )
+        def _checkpoint(done_tracks):
+            import jax.numpy as jnp
+
+            stacked = jnp.stack([t.histogram for t in done_tracks])
+            ckpt_futs.append(
+                ckpt_pool.submit(_readback_and_store, done_tracks, stacked)
+            )
+
+        try:
+            batch = parallel_runner.analyze_library(
+                todo_mp3, runner=runner, batch_cb=_checkpoint
+            )
+        finally:
+            # The final checkpoint (and its track.histogram rebinds)
+            # must land before anything reads the outcomes.
+            for f in ckpt_futs:
+                f.result()
+            ckpt_pool.shutdown(wait=True)
         out.audio_seconds += batch.audio_seconds
         for track in batch.tracks:
             if track.ok:
