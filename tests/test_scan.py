@@ -133,3 +133,27 @@ def test_cli_fault_isolation_in_batch(library, tmp_path, capsys):
     statuses = {r["file"].split("/")[-1]: r["status"] for r in out["files"]}
     assert statuses["bad.mp3"] == "error"
     assert all(v == "dry_run" for k, v in statuses.items() if k != "bad.mp3")
+
+
+def test_sparse_histogram_readback_matches_dense():
+    """_pull_histograms (top-k compaction) must reproduce the dense
+    histogram bit-exactly, including the dense fallback when a batch
+    exceeds the ladder."""
+    import jax.numpy as jnp
+
+    from mp3rgain_tpu import scan as sc
+
+    rng = np.random.default_rng(42)
+    dense = np.zeros((3, 12000), np.uint32)
+    # sparse rows under the ladder
+    for r, nnz in enumerate((5, 900, 1023)):
+        idx = rng.choice(12000, size=nnz, replace=False)
+        dense[r, idx] = rng.integers(1, 3000, size=nnz).astype(np.uint32)
+    got = sc._pull_histograms(jnp.asarray(dense))
+    np.testing.assert_array_equal(got, dense)
+
+    # a row denser than the ladder forces the dense fallback
+    big = np.zeros((1, 12000), np.uint32)
+    big[0, : 9000] = 1
+    got = sc._pull_histograms(jnp.asarray(big))
+    np.testing.assert_array_equal(got, big)
