@@ -258,7 +258,7 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
                 hists, louds, peaks = aac.analyze_batch(
                     [u for _, u in chunk], sr, nch
                 )
-                hists = np.asarray(hists)
+                hists = _pull_histograms(hists)
             except Exception as e:
                 for p, _ in chunk:
                     out.results[str(p)] = e
