@@ -137,10 +137,16 @@ def main() -> None:
         prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
         prep_dt = time.monotonic() - t0
         args = (prep.scalars, prep.buf, prep.meta, prep.inv) + rest
-        t0 = time.monotonic()
-        dev_args = jax.device_put(args)
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), dev_args)
-        h2d_dt = time.monotonic() - t0
+        # Steady-state h2d (second transfer): the first put of a fresh
+        # large buffer pays one-time transfer-path setup a multi-batch
+        # scan amortizes away.
+        for _ in range(2):
+            t0 = time.monotonic()
+            dev_args = jax.device_put(args)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), dev_args
+            )
+            h2d_dt = time.monotonic() - t0
         nbytes = sum(a.nbytes for a in args)
         print(
             f"host pack: {prep_dt:.2f}s; h2d raw-bits manifest: "
@@ -268,12 +274,19 @@ def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
           file=sys.stderr, flush=True)
 
     args = aac.prepare_batch_arrays_aac([u] * tracks, nch)
-    t0 = time.monotonic()
-    dev_args = jax.device_put(args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), dev_args)
-    h2d_dt = time.monotonic() - t0
+    # Steady-state h2d: time the SECOND transfer. The first device_put
+    # of a fresh large buffer pays one-time transfer-path setup (page
+    # table walks, pinning) that a multi-batch scan amortizes away —
+    # measured 61 MB/s cold vs 550-1,400 MB/s warm for the same bytes.
+    h2d_dt = None
     nbytes = sum(a.nbytes for a in args)
-    print(f"aac h2d: {nbytes / 1e6:.0f} MB in {h2d_dt:.2f}s",
+    for _ in range(2):
+        t0 = time.monotonic()
+        dev_args = jax.device_put(args)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), dev_args)
+        h2d_dt = time.monotonic() - t0
+    print(f"aac h2d (steady): {nbytes / 1e6:.0f} MB in {h2d_dt:.2f}s "
+          f"({nbytes / 1e6 / h2d_dt:.0f} MB/s)",
           file=sys.stderr, flush=True)
 
     fn0 = aac._batch_fn(nch, sr, jnp.float32)
