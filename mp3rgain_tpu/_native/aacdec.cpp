@@ -168,6 +168,11 @@ struct Vlc {
 struct VlcSet {
   Vlc sf;
   Vlc spec[11];
+  // Precomputed tuple dequantization: codeword index -> up to 4
+  // unquantized values. Replaces the per-tuple runtime div/mod chains
+  // (division by a non-constant modulus is the hottest arithmetic in
+  // the spectral loop) with one 4-byte load.
+  int8_t vals[11][289][4] = {};
 
   VlcSet() {
     sf.build(kAacSfCode, kAacSfLen, 121);
@@ -175,6 +180,22 @@ struct VlcSet {
       std::vector<uint32_t> codes(kAacSpecSize[b]);
       for (int i = 0; i < kAacSpecSize[b]; ++i) codes[i] = kAacSpecCodes[b][i];
       spec[b].build(codes.data(), kAacSpecLens[b], kAacSpecSize[b]);
+      const int dim = kAacSpecDim[b];
+      const bool uns = kAacSpecUnsigned[b];
+      const int lav = kAacSpecLav[b];
+      const int mod = uns ? (lav + 1) : (2 * lav + 1);
+      for (int idx = 0; idx < kAacSpecSize[b]; ++idx) {
+        int t = idx;
+        if (dim == 4) {
+          for (int d = 3; d >= 0; --d) {
+            vals[b][idx][d] = static_cast<int8_t>(t % mod - (uns ? 0 : lav));
+            t /= mod;
+          }
+        } else {
+          vals[b][idx][0] = static_cast<int8_t>(t / mod - (uns ? 0 : lav));
+          vals[b][idx][1] = static_cast<int8_t>(t % mod - (uns ? 0 : lav));
+        }
+      }
     }
   }
 };
@@ -235,19 +256,24 @@ constexpr int CB_ZERO = 0, CB_NOISE = 13, CB_IS_MINUS = 14, CB_IS_PLUS = 15;
 // Escape magnitudes (codebook 11, up to 2^16 + 2^16-1) take the pow path.
 constexpr int kReq43Size = 8207;  // max LAV 8191 + max pulse amplitude 15
 
-const double* req43_table() {
-  static const std::vector<double> table = [] {
-    std::vector<double> t(kReq43Size);
-    for (int i = 0; i < kReq43Size; ++i) t[i] = pow(double(i), 4.0 / 3.0);
+const float* req43_table() {
+  // float table (32 KB, L1-resident): ~6e-8 relative rounding vs the
+  // double form — two orders inside the decoder acceptance tolerances
+  // (and libavcodec's own requant tables are float too).
+  static const std::vector<float> table = [] {
+    std::vector<float> t(kReq43Size);
+    for (int i = 0; i < kReq43Size; ++i)
+      t[i] = static_cast<float>(pow(double(i), 4.0 / 3.0));
     return t;
   }();
   return table.data();
 }
 
-inline double requant43(int32_t x) {
+inline float requant43(int32_t x) {
   const int32_t a = x < 0 ? -x : x;
-  const double m =
-      a < kReq43Size ? req43_table()[a] : pow(double(a), 4.0 / 3.0);
+  const float m = a < kReq43Size
+                      ? req43_table()[a]
+                      : static_cast<float>(pow(double(a), 4.0 / 3.0));
   return x < 0 ? -m : m;
 }
 
@@ -433,31 +459,13 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
       const Vlc& vb = v.spec[cb - 1];
       const int dim = kAacSpecDim[cb - 1];
       const bool uns = kAacSpecUnsigned[cb - 1];
-      const int lav = kAacSpecLav[cb - 1];
       const int total = width * glen;
+      const int8_t (*dequant)[4] = v.vals[cb - 1];
       for (int i = 0; i < total; i += dim) {
         const int idx = vb.decode(br);
         if (idx < 0 || br->overrun) return false;
         int vals[4];
-        if (dim == 4) {
-          int t = idx;
-          const int mod = uns ? (lav + 1) : (2 * lav + 1);
-          for (int d = 3; d >= 0; --d) {
-            vals[d] = t % mod;
-            t /= mod;
-          }
-          if (!uns) {
-            for (int d = 0; d < 4; ++d) vals[d] -= lav;
-          }
-        } else {
-          const int mod = uns ? (lav + 1) : (2 * lav + 1);
-          vals[0] = idx / mod;
-          vals[1] = idx % mod;
-          if (!uns) {
-            vals[0] -= lav;
-            vals[1] -= lav;
-          }
-        }
+        for (int d = 0; d < dim; ++d) vals[d] = dequant[idx][d];
         // Bitstream order: all sign bits for the tuple, then escape
         // sequences per coefficient (ISO 14496-3 spectral_data()). All
         // sign bits are fetched in one read (first nonzero gets the
@@ -520,12 +528,12 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
     for (int k = 0; k < ics.max_sfb && k < 64; ++k) {
       const int cb = ch->band_cb[0][k];
       if (cb < 1 || cb > 11) continue;
-      const double gain = ch->sf[0][k];
+      const float gain = static_cast<float>(ch->sf[0][k]);
       const int end = ics.swb_offset[k + 1] < 1024 ? ics.swb_offset[k + 1]
                                                    : 1024;
       for (int i = ics.swb_offset[k]; i < end; ++i) {
         const int32_t x = coef[i];
-        if (x) ch->spec[i] = static_cast<float>(requant43(x) * gain);
+        if (x) ch->spec[i] = requant43(x) * gain;
       }
     }
   } else {
@@ -538,7 +546,7 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
         if (cb < 1 || cb > 11) continue;
         const int band_start = ics.swb_offset[k];
         const int band_end = ics.swb_offset[k + 1];
-        const double gain = ch->sf[g][k];
+        const float gain = static_cast<float>(ch->sf[g][k]);
         int src = group_offset + band_start * glen;
         for (int w = 0; w < glen; ++w) {
           const int dst0 = (win0 + w) * 128;
@@ -546,7 +554,7 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
             const int dst = dst0 + i;
             if (src >= 1024 || dst >= 1024) continue;
             const int32_t x = coef[src];
-            if (x) ch->spec[dst] = static_cast<float>(requant43(x) * gain);
+            if (x) ch->spec[dst] = requant43(x) * gain;
           }
         }
       }
