@@ -237,14 +237,31 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
     from . import aac
     from .decode import aac_frontend as af
 
-    buckets: dict[tuple[int, int], list] = {}
-    for p in paths:
+    # Unpack in a thread pool: the native AAC entropy stage drops the
+    # GIL, so multi-core hosts get near-linear speedup (the MP3 wave
+    # unpack does the same; no-op on one core).
+    def _unpack_one(p):
         try:
             u = af.unpack_file(p, f16=True)
             if u.n == 0:
                 raise aac.AacError("No decodable AAC frames found")
+            return u, None
         except Exception as e:
-            out.results[str(p)] = e
+            return None, e
+
+    workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)
+    if workers > 1 and len(paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            unpacked = list(pool.map(_unpack_one, paths))
+    else:
+        unpacked = [_unpack_one(p) for p in paths]
+
+    buckets: dict[tuple[int, int], list] = {}
+    for p, (u, err) in zip(paths, unpacked):
+        if err is not None:
+            out.results[str(p)] = err
             if progress_cb:
                 progress_cb(str(p))
             continue
