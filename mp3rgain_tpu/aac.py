@@ -122,21 +122,36 @@ def analyze_batch(unpacked: list, sample_rate: int, n_channels: int,
     """Analyze same-format AAC tracks in one device dispatch.
 
     Returns (hist (B, 12000) device, louds (B,) np, peaks (B,) np)."""
+    import os as _os
+    import time as _time
+
     from .utils import bufpool
 
+    scan_time = bool(_os.environ.get("MP3RGAIN_SCAN_TIME"))
+    t0 = _time.monotonic()
     bsz = len(unpacked)
     args = prepare_batch_arrays_aac(unpacked, n_channels)
+    t1 = _time.monotonic()
     fn = _batch_fn(n_channels, sample_rate, dtype)
     dev_args = jax.device_put(args)
     # Pooled host buffers go back once the transfer has committed.
     jax.block_until_ready(dev_args)
     bufpool.give(*args[:4])
+    t2 = _time.monotonic()
     hist, loud_idx, peak = fn(*dev_args)
     stats = np.asarray(
         jnp.concatenate(
             [loud_idx[:bsz].astype(jnp.float32), peak[:bsz].astype(jnp.float32)]
         )
     )
+    if scan_time:
+        import sys as _sys
+
+        print(
+            f"aac analyze_batch: n={bsz} prepare={t1 - t0:.2f}s "
+            f"h2d={t2 - t1:.2f}s compute+stats={_time.monotonic() - t2:.2f}s",
+            file=_sys.stderr, flush=True,
+        )
     louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
     return hist[:bsz], louds, stats[bsz:]
 

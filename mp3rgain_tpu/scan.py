@@ -249,6 +249,8 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
         except Exception as e:
             return None, e
 
+    scan_time = bool(os.environ.get("MP3RGAIN_SCAN_TIME"))
+    t_u0 = time.monotonic()
     workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)
     if workers > 1 and len(paths) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -257,6 +259,11 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
             unpacked = list(pool.map(_unpack_one, paths))
     else:
         unpacked = [_unpack_one(p) for p in paths]
+    if scan_time:
+        import sys as _sys
+
+        print(f"aac scan: unpack {time.monotonic() - t_u0:.2f}s "
+              f"({len(paths)} files)", file=_sys.stderr, flush=True)
 
     buckets: dict[tuple[int, int], list] = {}
     for p, (u, err) in zip(paths, unpacked):
@@ -272,10 +279,21 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
         for start in range(0, len(members), BATCH_THRESHOLD * 4):
             chunk = members[start : start + BATCH_THRESHOLD * 4]
             try:
+                t_b0 = time.monotonic()
                 hists, louds, peaks = aac.analyze_batch(
                     [u for _, u in chunk], sr, nch
                 )
+                t_b1 = time.monotonic()
                 hists = _pull_histograms(hists)
+                if scan_time:
+                    import sys as _sys
+
+                    print(
+                        f"aac scan batch: n={len(chunk)} sr={sr} "
+                        f"analyze={t_b1 - t_b0:.2f}s "
+                        f"hist_pull={time.monotonic() - t_b1:.2f}s",
+                        file=_sys.stderr, flush=True,
+                    )
             except Exception as e:
                 for p, _ in chunk:
                     out.results[str(p)] = e
