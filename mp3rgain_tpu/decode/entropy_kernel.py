@@ -622,6 +622,10 @@ def _decode_call(nb: int, interpret: bool):
             pltpu.SemaphoreType.DMA,
         ],
     )
+    # Wider-lane experiments (MP3RGAIN_ENTROPY_LANES=4096) exceed the
+    # 16 MB scoped-VMEM default; MP3RGAIN_ENTROPY_VMEM raises the limit
+    # (bytes). Leave unset for the shipped 2048-lane configuration.
+    vmem_limit = int(os.environ.get("MP3RGAIN_ENTROPY_VMEM", "0"))
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -629,6 +633,8 @@ def _decode_call(nb: int, interpret: bool):
             jax.ShapeDtypeStruct((nb, 576, LANES), jnp.int16),
             jax.ShapeDtypeStruct((nb, 8, LANES), jnp.int32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit) if vmem_limit else None,
         interpret=interpret,
     )
 
