@@ -242,10 +242,14 @@ struct Channel {
   int dbg_flags = 0;  // 1=tns, 2=pns, 4=intensity, 8=esc, 16=pulse
   uint8_t band_cb[8][64] = {};   // codebook per group/sfb
   double sf[8][64] = {};         // linear scalefactor gain per group/sfb
+  int sf_int[8][64] = {};        // raw scalefactor integers (device requant)
   int is_pos[8][64] = {};        // intensity positions
   double noise_nrg[8][64] = {};  // PNS energies (linear)
+  int noise_int[8][64] = {};     // raw PNS energy integers (device requant)
   TnsData tns;
   bool tns_present = false;
+  bool overflow = false;  // |quantized| > int16: force host requant
+  int32_t qcoef[1024] = {};  // quantized coefficients, decode order
   float spec[1024] = {};  // requantized, natural window order
 };
 
@@ -361,6 +365,7 @@ bool parse_scale_factor_data(BitReader* br, Channel* ch) {
           noise_nrg += idx - 60;
         }
         ch->noise_nrg[g][k] = pow(2.0, 0.25 * (noise_nrg - 100) - 15.0);
+        ch->noise_int[g][k] = noise_nrg;
       } else {
         const int idx = vlcs().sf.decode(br);
         if (idx < 0) return false;
@@ -369,6 +374,7 @@ bool parse_scale_factor_data(BitReader* br, Channel* ch) {
         // 2^-15: normalized float output convention (int16 full scale
         // maps to 1.0), matching the reference decoder's float path.
         ch->sf[g][k] = pow(2.0, 0.25 * (sf - 100) - 15.0);
+        ch->sf_int[g][k] = sf;
       }
     }
   }
@@ -438,13 +444,17 @@ void parse_tns_data(BitReader* br, const IcsInfo& ics, TnsData* tns) {
   }
 }
 
-// Spectral data for one channel.
+// Spectral data for one channel: Huffman decode into ch->qcoef
+// (quantized integers, decode/grouped order — for long windows decode
+// order IS natural spectral order) plus pulse application. Requantize
+// and the grouped->natural reorder live in requant_channel so the
+// device-requant path (mg_aac_unpack_adts_q) can skip them.
 bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
   const IcsInfo& ics = ch->ics;
   const VlcSet& v = vlcs();
   // coefficients in decode (grouped/interleaved) order
   const double t0 = g_aac_timing.enabled ? AacTiming::now() : 0;
-  int32_t coef[1024] = {};
+  int32_t* coef = ch->qcoef;
   int group_offset = 0;
 
   for (int g = 0; g < ics.num_window_groups; ++g) {
@@ -490,6 +500,7 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
             const int off = br->get(n);
             const int mag = (1 << n) + off;
             val = val < 0 ? -mag : mag;
+            if (mag > 32767) ch->overflow = true;
           }
           // position: within group g, band k, interleaved by window
           const int pos = group_offset + band_start * glen + i + d;
@@ -518,9 +529,17 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
     }
   }
 
-  // Requantize + map grouped/interleaved order to natural window order.
-  // spec[] is zero-initialized, so zero coefficients and non-coding
-  // bands (zero/noise/intensity) are skipped outright.
+  if (g_aac_timing.enabled) g_aac_timing.huff += AacTiming::now() - t0;
+  return true;
+}
+
+// Requantize ch->qcoef + map grouped/interleaved order to natural window
+// order. spec[] is zero-initialized, so zero coefficients and non-coding
+// bands (zero/noise/intensity) are skipped outright.
+void requant_channel(Channel* ch) {
+  const IcsInfo& ics = ch->ics;
+  const int32_t* coef = ch->qcoef;
+  int group_offset = 0;
   const double t1 = g_aac_timing.enabled ? AacTiming::now() : 0;
   if (ics.window_sequence != EIGHT_SHORT) {
     // Long windows: one group of one window — decode order IS natural
@@ -537,7 +556,6 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
       }
     }
   } else {
-    group_offset = 0;
     for (int g = 0; g < ics.num_window_groups; ++g) {
       const int glen = ics.group_len[g];
       const int win0 = group_offset / 128;
@@ -561,11 +579,7 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
       group_offset += glen * 128;
     }
   }
-  if (g_aac_timing.enabled) {
-    g_aac_timing.huff += t1 - t0;
-    g_aac_timing.requant += AacTiming::now() - t1;
-  }
-  return true;
+  if (g_aac_timing.enabled) g_aac_timing.requant += AacTiming::now() - t1;
 }
 
 // TNS synthesis filtering per window (all-pole, direction-aware).
@@ -774,11 +788,28 @@ enum {
 
 // Unpack an ADTS AAC-LC stream into natural-order requantized spectra.
 // Exactly one of `spec` (f32) / `spec16`+`sexp` (block-scaled f16 +
-// per-frame exponent) is non-null; info: (cap, AAC_INFO_N) i32.
+// per-frame exponent) / `qspec` (device-requant mode, see below) is
+// non-null; info: (cap, AAC_INFO_N) i32.
 // Returns frame-channel count (retry with larger cap if > cap).
+//
+// Device-requant (Q) mode: long-window frames skip requantize, PNS,
+// stereo and TNS entirely on host; per lane the outputs are the raw
+// quantized coefficients (qspec, natural order int16), per-band raw
+// scalefactor integers (lvl: sf / PNS energy / intensity position),
+// band types (btype: 0 zero, 1 normal, 2 noise, 3 is+, 4 is-) and
+// ms_used flags (msf) — the device does the spectral prep. Frames the
+// device path cannot express (EIGHT_SHORT windows, TNS, |q| > int16)
+// fall back to the full host decode and ship as block-scaled f16 rows
+// (fb16/fbexp) with flag bit 32 in info[7].
 static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
                                 float* spec, uint16_t* spec16,
-                                int8_t* sexp, int32_t* info, int64_t cap) {
+                                int8_t* sexp, int32_t* info, int64_t cap,
+                                int16_t* qspec = nullptr,
+                                int16_t* lvl = nullptr,
+                                uint8_t* btype = nullptr,
+                                uint8_t* msf = nullptr,
+                                uint16_t* fb16 = nullptr,
+                                int8_t* fbexp = nullptr) {
   static const int kSr[16] = {96000, 88200, 64000, 48000, 44100, 32000,
                               24000, 22050, 16000, 12000, 11025, 8000,
                               0, 0, 0, 0};
@@ -814,6 +845,9 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
     if (g_aac_timing.enabled) g_aac_timing.reset += AacTiming::now() - tr0;
     int nch = 0;
     bool ok = true;
+    bool is_cpe = false, cpe_common = false;
+    uint8_t ms_mask[8 * 64] = {};
+    int ms_type = 0;
 
     // raw_data_block: elements until END (id 7).
     while (ok && !br.overrun) {
@@ -827,8 +861,8 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
         br.skip(4);
         const int common_window = br.get(1);
         IcsInfo shared;
-        uint8_t ms_mask[8 * 64] = {};
-        int ms_type = 0;
+        ms_type = 0;
+        memset(ms_mask, 0, sizeof(ms_mask));
         if (common_window) {
           if (!parse_ics_info(&br, sr_index, &shared)) {
             ok = false;
@@ -845,16 +879,8 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
         }
         ok = parse_ics(&br, sr_index, common_window, &shared, &chans[0]) &&
              parse_ics(&br, sr_index, common_window, &shared, &chans[1]);
-        if (ok) {
-          const double tp0 = g_aac_timing.enabled ? AacTiming::now() : 0;
-          apply_pns(&chans[0], &rng_state);
-          apply_pns(&chans[1], &rng_state);
-          if (common_window) {
-            apply_stereo(&chans[0], &chans[1], ms_mask, ms_type);
-          }
-          if (g_aac_timing.enabled)
-            g_aac_timing.post += AacTiming::now() - tp0;
-        }
+        is_cpe = true;
+        cpe_common = common_window != 0;
         nch = 2;
       } else if (id == 4) {  // DSE
         br.skip(4);
@@ -874,12 +900,40 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
       }
     }
 
-    const double tp1 = g_aac_timing.enabled ? AacTiming::now() : 0;
-    if (nch == 1 && ok) apply_pns(&chans[0], &rng_state);
     const int out_ch = nch == 0 ? (ch_conf == 1 ? 1 : 2) : nch;
+
+    // Frame-level host-vs-device routing (Q mode). The whole frame goes
+    // one way: stereo couples the channels, so a device lane must never
+    // read a fallback lane.
+    bool frame_fb = false;
+    if (qspec && ok) {
+      for (int c = 0; c < nch; ++c) {
+        const Channel& ch = chans[c];
+        if (ch.ics.window_sequence == EIGHT_SHORT || ch.tns_present ||
+            ch.overflow) {
+          frame_fb = true;
+        }
+      }
+    }
+
+    // Post-parse pipeline (requantize -> PNS -> stereo -> TNS), skipped
+    // entirely for device-routed frames (the device replays it from the
+    // quantized coefficients + band metadata; PNS is decoder-specific by
+    // design, so the device uses its own deterministic noise).
+    const bool host_dsp = ok && (!qspec || frame_fb);
+    if (host_dsp) {
+      for (int c = 0; c < nch; ++c) requant_channel(&chans[c]);
+      const double tq0 = g_aac_timing.enabled ? AacTiming::now() : 0;
+      for (int c = 0; c < nch; ++c) apply_pns(&chans[c], &rng_state);
+      if (is_cpe && cpe_common) {
+        apply_stereo(&chans[0], &chans[1], ms_mask, ms_type);
+      }
+      for (int c = 0; c < nch; ++c) apply_tns(&chans[c]);
+      if (g_aac_timing.enabled) g_aac_timing.post += AacTiming::now() - tq0;
+    }
+
     for (int c = 0; c < out_ch; ++c) {
       Channel& ch = chans[c];
-      if (ok) apply_tns(&ch);
       const int64_t rec = n_out++;
       if (rec < cap) {
         int32_t* in = info + rec * AAC_INFO_N;
@@ -890,13 +944,53 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
           } else {
             memset(sp, 0, 1024 * sizeof(float));
           }
-        } else {
+        } else if (spec16) {
           uint16_t* sp = spec16 + rec * 1024;
           if (ok) {
             sexp[rec] = spec_to_f16(ch.spec, sp);
           } else {
             memset(sp, 0, 1024 * sizeof(uint16_t));
             sexp[rec] = 0;
+          }
+        } else {
+          int16_t* qs = qspec + rec * 1024;
+          int16_t* lv = lvl + rec * 64;
+          uint8_t* bt = btype + rec * 64;
+          uint8_t* mf = msf + rec * 64;
+          memset(lv, 0, 64 * sizeof(int16_t));
+          memset(bt, 0, 64);
+          memset(mf, 0, 64);
+          fbexp[rec] = 0;
+          if (ok && !frame_fb) {
+            // Long windows: decode order is natural order already.
+            for (int i = 0; i < 1024; ++i) {
+              qs[i] = static_cast<int16_t>(ch.qcoef[i]);
+            }
+            const IcsInfo& ics = ch.ics;
+            const int nsfb = ics.max_sfb < 64 ? ics.max_sfb : 64;
+            for (int k = 0; k < nsfb; ++k) {
+              const int cb = ch.band_cb[0][k];
+              if (cb >= 1 && cb <= 11) {
+                bt[k] = 1;
+                lv[k] = static_cast<int16_t>(ch.sf_int[0][k]);
+              } else if (cb == CB_NOISE) {
+                bt[k] = 2;
+                lv[k] = static_cast<int16_t>(ch.noise_int[0][k]);
+              } else if (cb == CB_IS_PLUS || cb == CB_IS_MINUS) {
+                bt[k] = cb == CB_IS_PLUS ? 3 : 4;
+                lv[k] = static_cast<int16_t>(ch.is_pos[0][k]);
+              }
+              if (is_cpe && cpe_common) {
+                mf[k] = ms_type == 2 ? 1 : (ms_type == 1 ? ms_mask[k] : 0);
+              }
+            }
+          } else {
+            memset(qs, 0, 1024 * sizeof(int16_t));
+            if (ok) {  // fallback: full host decode, block-scaled f16
+              fbexp[rec] = spec_to_f16(ch.spec, fb16 + rec * 1024);
+            } else {
+              memset(fb16 + rec * 1024, 0, 1024 * sizeof(uint16_t));
+            }
           }
         }
         in[AAC_FRAME] = static_cast<int32_t>(frame_idx);
@@ -906,10 +1000,10 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
         in[AAC_NCH] = out_ch;
         in[AAC_SR] = kSr[sr_index];
         in[AAC_VALID] = ok ? 1 : 0;
-        in[7] = (ch.tns_present ? 1 : 0) | ch.dbg_flags;  // diagnostics
+        in[7] = (ch.tns_present ? 1 : 0) | ch.dbg_flags |
+                (frame_fb && ok ? 32 : 0);  // diagnostics + fb routing
       }
     }
-    if (g_aac_timing.enabled) g_aac_timing.post += AacTiming::now() - tp1;
     ++frame_idx;
     pos += full_len;
   }
@@ -931,6 +1025,18 @@ int64_t mg_aac_unpack_adts_f16(const uint8_t* data, size_t len,
                                uint16_t* spec16, int8_t* sexp,
                                int32_t* info, int64_t cap) {
   return unpack_adts_impl(data, len, nullptr, spec16, sexp, info, cap);
+}
+
+// Device-requant variant: quantized coefficients + band metadata out;
+// the requantize/PNS/stereo spectral prep runs on the accelerator
+// (decode/aac_prep.py). Frames the device path cannot express ship as
+// block-scaled f16 fallback rows (see unpack_adts_impl docs above).
+int64_t mg_aac_unpack_adts_q(const uint8_t* data, size_t len,
+                             int16_t* qspec, int16_t* lvl, uint8_t* btype,
+                             uint8_t* msf, uint16_t* fb16, int8_t* fbexp,
+                             int32_t* info, int64_t cap) {
+  return unpack_adts_impl(data, len, nullptr, nullptr, nullptr, info, cap,
+                          qspec, lvl, btype, msf, fb16, fbexp);
 }
 
 }  // extern "C"

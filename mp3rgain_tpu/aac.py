@@ -38,6 +38,29 @@ class AacError(RuntimeError):
     pass
 
 
+def _analysis_tail(spec, window_seq, window_shape, valid_samples,
+                   *, n_channels: int, sample_rate: int, dtype):
+    """Shared device tail: (B, F, 1024) spectra -> (hist, loud_idx, peak)."""
+
+    def one(args):
+        return aac_synthesis._decode_jit(
+            *args, n_channels=n_channels, dtype=dtype
+        )
+
+    pcm = jax.vmap(one)((spec, window_seq, window_shape))  # (B, C, N)
+    pcm = jnp.clip(pcm, -AAC_CLIP, AAC_CLIP)
+    bsz, c, n = pcm.shape
+    mask = (jnp.arange(n)[None, None, :] < valid_samples[:, None, None])
+    peak = jnp.max(jnp.abs(pcm) * mask, axis=(1, 2))  # (B,)
+    x = pcm.reshape(bsz * c, n).astype(dtype) * dtype(SAMPLE_SCALE_16BIT)
+    filtered = iir.equal_loudness(x, sample_rate).reshape(bsz, c, n)
+    hist = hi._histogram_jit(
+        filtered, valid_samples, hi.window_size(sample_rate)
+    )
+    loud_idx = hi.loudness_index_device(hist)
+    return hist, loud_idx, peak
+
+
 @lru_cache(maxsize=None)
 def _batch_fn(n_channels: int, sample_rate: int, dtype):
     """Batched AAC pipeline: vmapped decode + shared DSP tail.
@@ -50,24 +73,31 @@ def _batch_fn(n_channels: int, sample_rate: int, dtype):
         # Block-scaled f16 transfer format: true spectrum is
         # spec * 2^sexp (sexp all-zero when the host shipped f32).
         spec = spec.astype(dtype) * jnp.exp2(sexp.astype(dtype))[..., None]
-
-        def one(args):
-            return aac_synthesis._decode_jit(
-                *args, n_channels=n_channels, dtype=dtype
-            )
-
-        pcm = jax.vmap(one)((spec, window_seq, window_shape))  # (B, C, N)
-        pcm = jnp.clip(pcm, -AAC_CLIP, AAC_CLIP)
-        bsz, c, n = pcm.shape
-        mask = (jnp.arange(n)[None, None, :] < valid_samples[:, None, None])
-        peak = jnp.max(jnp.abs(pcm) * mask, axis=(1, 2))  # (B,)
-        x = pcm.reshape(bsz * c, n).astype(dtype) * dtype(SAMPLE_SCALE_16BIT)
-        filtered = iir.equal_loudness(x, sample_rate).reshape(bsz, c, n)
-        hist = hi._histogram_jit(
-            filtered, valid_samples, hi.window_size(sample_rate)
+        return _analysis_tail(
+            spec, window_seq, window_shape, valid_samples,
+            n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
         )
-        loud_idx = hi.loudness_index_device(hist)
-        return hist, loud_idx, peak
+
+    return jax.jit(core)
+
+
+@lru_cache(maxsize=None)
+def _batch_fn_q(n_channels: int, sample_rate: int, dtype):
+    """Batched device-requant AAC pipeline: quantized coefficients in,
+    spectral prep (requantize/PNS/stereo, decode/aac_prep.py) + IMDCT +
+    DSP on device."""
+    from .decode import aac_prep
+
+    def core(spec_q, lvl, bmeta, fb16, fbexp, fbmap,
+             window_seq, window_shape, valid_samples):
+        spec = aac_prep.prep_spectra(
+            spec_q, lvl, bmeta, fb16, fbexp, fbmap,
+            sample_rate=sample_rate, n_channels=n_channels, dtype=dtype,
+        )
+        return _analysis_tail(
+            spec, window_seq, window_shape, valid_samples,
+            n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+        )
 
     return jax.jit(core)
 
@@ -117,6 +147,128 @@ def prepare_batch_arrays_aac(unpacked: list, n_channels: int):
     return spec, sexp, wseq, wshape, valid
 
 
+def use_device_prep() -> bool:
+    """Route AAC spectral prep (requantize/PNS/stereo) on device.
+
+    Default: compiled TPU only — the host-requant f16 path stays the
+    oracle on CPU (and its PNS noise values are the decoder-specific
+    host LCG). Override with MP3RGAIN_AAC_DEVICE_PREP=1/0 (tests use 1
+    to run the device prep on CPU)."""
+    import os as _os
+
+    env = _os.environ.get("MP3RGAIN_AAC_DEVICE_PREP")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
+# Fallback-row ladder: keeps the (rare) fallback sideband's shape key
+# population small across batches.
+_FB_LADDER = (4, 16, 64, 256, 1024, 4096, 16384)
+
+
+def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
+    """Pad device-requant AAC tracks into ladder-quantized batch arrays
+    for _batch_fn_q. Returns the positional device-arg tuple."""
+    from .decode import aac_frontend as af
+    from .decode.aac_format_tables import SWB_1024_MAP, SWB_LONG_TABLES
+    from .parallel.runner import _B_LADDER, _quantize_up
+    from .utils import bufpool
+
+    bsz = len(unpacked)
+    f_max = max((u.n // n_channels) * n_channels for u in unpacked)
+    f_max = _quantize_up(max(f_max, n_channels), n_channels, base=128,
+                         ratio=1.3)
+    bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
+
+    # Coded extent: quantized coefficients live only in btype==1 bands,
+    # so the batch ships (B, F, EXT) with EXT from the largest coded
+    # band, rounded to 128 to keep the executable population small.
+    sr = unpacked[0].sample_rate
+    swb = SWB_LONG_TABLES[SWB_1024_MAP[af.ADTS_SR_INDEX[sr]]]
+    kmax = 0
+    for u in unpacked:
+        nz = np.nonzero((u.btype == 1).any(axis=0))[0]
+        if len(nz):
+            kmax = max(kmax, int(nz[-1]) + 1)
+    ext = min(1024, max(128, -(-swb[min(kmax, len(swb) - 1)] // 128) * 128))
+
+    spec_q = bufpool.take_zeroed((bpad, f_max, ext), np.int16)
+    lvl = bufpool.take_zeroed((bpad, f_max, 64), np.int16)
+    bmeta = bufpool.take_zeroed((bpad, f_max, 64), np.uint8)
+    wseq = bufpool.take_zeroed((bpad, f_max), np.int32)
+    wshape = bufpool.take_zeroed((bpad, f_max), np.int32)
+    valid = np.zeros(bpad, np.int32)
+    fbmap = bufpool.take((bpad * f_max,), np.int32)
+    fbmap[:] = np.arange(bpad * f_max, dtype=np.int32)
+
+    fb_rows = []
+    fb_exps = []
+    for i, u in enumerate(unpacked):
+        n = (u.n // n_channels) * n_channels
+        spec_q[i, :n] = u.qspec[:n, :ext]
+        lvl[i, :n] = u.lvl[:n]
+        bmeta[i, :n] = u.btype[:n] | (u.msf[:n] << 3)
+        wseq[i, :n] = u.info[:n, af.WINDOW_SEQ]
+        wshape[i, :n] = u.info[:n, af.WINDOW_SHAPE]
+        valid[i] = (n // n_channels) * 1024
+        for j, row in enumerate(u.fbrows):
+            if row >= n:
+                continue
+            fbmap[i * f_max + int(row)] = bpad * f_max + len(fb_rows)
+            fb_rows.append(u.fb16[j])
+            fb_exps.append(u.fbexp[j])
+
+    fbp = next((f for f in _FB_LADDER if f >= max(len(fb_rows), 1)),
+               max(len(fb_rows), 1))
+    fb16 = np.zeros((fbp, 1024), np.uint16)
+    fbexp = np.zeros(fbp, np.int8)
+    if fb_rows:
+        fb16[: len(fb_rows)] = np.stack(fb_rows)
+        fbexp[: len(fb_rows)] = np.array(fb_exps, np.int8)
+    return (spec_q, lvl, bmeta, fb16.view(np.float16), fbexp, fbmap,
+            wseq, wshape, valid)
+
+
+def analyze_batch_q(unpacked: list, sample_rate: int, n_channels: int,
+                    dtype=jnp.float32):
+    """Device-requant batch analysis (spectral prep on device)."""
+    import os as _os
+    import time as _time
+
+    from .utils import bufpool
+
+    scan_time = bool(_os.environ.get("MP3RGAIN_SCAN_TIME"))
+    t0 = _time.monotonic()
+    bsz = len(unpacked)
+    args = prepare_batch_arrays_aac_q(unpacked, n_channels)
+    t1 = _time.monotonic()
+    fn = _batch_fn_q(n_channels, sample_rate, dtype)
+    dev_args = jax.device_put(args)
+    jax.block_until_ready(dev_args)
+    bufpool.give(*args[:3], args[5], args[6], args[7])
+    t2 = _time.monotonic()
+    hist, loud_idx, peak = fn(*dev_args)
+    stats = np.asarray(
+        jnp.concatenate(
+            [loud_idx[:bsz].astype(jnp.float32),
+             peak[:bsz].astype(jnp.float32)]
+        )
+    )
+    if scan_time:
+        import sys as _sys
+
+        nbytes = sum(a.nbytes for a in args)
+        print(
+            f"aac analyze_batch_q: n={bsz} prepare={t1 - t0:.2f}s "
+            f"h2d={t2 - t1:.2f}s ({nbytes / 1e6:.0f} MB) "
+            f"compute+stats={_time.monotonic() - t2:.2f}s",
+            file=_sys.stderr, flush=True,
+        )
+    louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
+    return hist[:bsz], louds, stats[bsz:]
+
+
 def analyze_batch(unpacked: list, sample_rate: int, n_channels: int,
                   dtype=jnp.float32):
     """Analyze same-format AAC tracks in one device dispatch.
@@ -157,12 +309,17 @@ def analyze_batch(unpacked: list, sample_rate: int, n_channels: int,
 
 
 def _analyze_on_device(path, dtype, track_index=None):
-    u = af.unpack_file(path, track_index=track_index, f16=True)
+    if use_device_prep():
+        u = af.unpack_file_q(path, track_index=track_index)
+        batch = analyze_batch_q
+    else:
+        u = af.unpack_file(path, track_index=track_index, f16=True)
+        batch = analyze_batch
     if u.n == 0:
         raise AacError("No decodable AAC frames found")
     nch = u.n_channels or 1
     sr = u.sample_rate
-    hist, louds, peaks = analyze_batch([u], sr, nch, dtype=dtype)
+    hist, louds, peaks = batch([u], sr, nch, dtype=dtype)
     n = (u.n // nch) * nch
     audio_seconds = (n // nch) * 1024 / sr if sr else 0.0
     return hist[0], float(louds[0]), float(peaks[0]), sr, audio_seconds

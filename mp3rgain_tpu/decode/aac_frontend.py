@@ -40,6 +40,23 @@ _lib.mg_aac_unpack_adts_f16.argtypes = [
     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
 ]
 
+_lib.mg_aac_unpack_adts_q.restype = ctypes.c_int64
+_lib.mg_aac_unpack_adts_q.argtypes = [
+    _u8p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int8),
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+]
+
+# info[7] flag bits (diagnostics + routing), kept in sync with aacdec.cpp.
+FLAG_TNS = 1
+FLAG_PNS = 2
+FLAG_INTENSITY = 4
+FLAG_ESC = 8
+FLAG_PULSE = 16
+FLAG_FALLBACK = 32
+
 ADTS_SR_INDEX = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
                  24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
 SR_FROM_INDEX = {v: k for k, v in ADTS_SR_INDEX.items()}
@@ -66,6 +83,95 @@ class UnpackedAac:
     @property
     def n_channels(self) -> int:
         return int(self.info[0, NCH]) if self.n else 0
+
+
+@dataclass
+class UnpackedAacQ:
+    """Device-requant unpack: quantized coefficients + band metadata.
+
+    The spectral prep (requantize -> PNS -> M/S + intensity stereo) runs
+    on device (decode/aac_prep.py); frames the device path cannot
+    express (EIGHT_SHORT windows, TNS, |q| > int16) arrive as COMPACTED
+    block-scaled f16 fallback rows (full host decode) with their lane
+    indices in fbrows.
+    """
+
+    qspec: np.ndarray  # (n, 1024) int16, natural order; zero on fb lanes
+    lvl: np.ndarray  # (n, 64) int16: sf / PNS energy / intensity position
+    btype: np.ndarray  # (n, 64) uint8: 0 zero, 1 normal, 2 noise, 3 is+, 4 is-
+    msf: np.ndarray  # (n, 64) uint8 ms_used flags
+    info: np.ndarray  # (n, INFO_N) int32
+    fb16: np.ndarray  # (n_fb, 1024) uint16 f16 bits, block-scaled
+    fbexp: np.ndarray  # (n_fb,) int8 per-row exponents
+    fbrows: np.ndarray  # (n_fb,) int32 lane indices of the fallback rows
+
+    @property
+    def n(self) -> int:
+        return self.info.shape[0]
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.info[0, SR]) if self.n else 0
+
+    @property
+    def n_channels(self) -> int:
+        return int(self.info[0, NCH]) if self.n else 0
+
+
+def _count_adts_channel_frames(data: bytes) -> int:
+    """Exact output-lane count from a cheap ADTS header walk (avoids the
+    4x-oversized len//64 capacity guess — these buffers are the unpack
+    stage's biggest allocation)."""
+    n = 0
+    pos = 0
+    ln = len(data)
+    while pos + 7 <= ln:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xF0) != 0xF0:
+            pos += 1
+            continue
+        sr_index = (data[pos + 2] >> 2) & 0xF
+        full_len = (((data[pos + 3] & 0x3) << 11) | (data[pos + 4] << 3)
+                    | (data[pos + 5] >> 5))
+        if full_len < 7 or pos + full_len > ln or sr_index >= 12:
+            pos += 1
+            continue
+        ch_conf = ((data[pos + 2] & 1) << 2) | ((data[pos + 3] >> 6) & 3)
+        n += 1 if ch_conf == 1 else 2
+        pos += full_len
+    return n
+
+
+def unpack_adts_q(data: bytes) -> UnpackedAacQ:
+    cap = max(4, _count_adts_channel_frames(data))
+    while True:
+        qspec = np.zeros((cap, 1024), dtype=np.int16)
+        lvl = np.zeros((cap, 64), dtype=np.int16)
+        btype = np.zeros((cap, 64), dtype=np.uint8)
+        msf = np.zeros((cap, 64), dtype=np.uint8)
+        fb16 = np.zeros((cap, 1024), dtype=np.uint16)
+        fbexp = np.zeros(cap, dtype=np.int8)
+        info = np.zeros((cap, INFO_N), dtype=np.int32)
+        n = _lib.mg_aac_unpack_adts_q(
+            _inbuf(data), len(data),
+            qspec.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            lvl.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            btype.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            msf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            fb16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            fbexp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        )
+        if n <= cap:
+            info = info[:n]
+            fbrows = np.nonzero(info[:, 7] & FLAG_FALLBACK)[0].astype(
+                np.int32
+            )
+            return UnpackedAacQ(
+                qspec=qspec[:n], lvl=lvl[:n], btype=btype[:n], msf=msf[:n],
+                info=info, fb16=fb16[fbrows].copy(),
+                fbexp=fbexp[fbrows].copy(), fbrows=fbrows,
+            )
+        cap = int(n)
 
 
 def unpack_adts(data: bytes, f16: bool = False) -> UnpackedAac:
@@ -284,8 +390,7 @@ def _build_adts(data: bytes, sizes, offsets, asc) -> bytes:
     return bytes(out)
 
 
-def unpack_file(path, track_index: int | None = None,
-                f16: bool = False) -> UnpackedAac:
+def _file_adts(path, track_index):
     with open(path, "rb") as f:
         data = f.read()
     if data[4:8] == b"ftyp":
@@ -295,4 +400,13 @@ def unpack_file(path, track_index: int | None = None,
         raise Mp4DemuxError(
             f"Track index {track_index} out of range (file has 1 audio track(s))"
         )
-    return unpack_adts(data, f16=f16)
+    return data
+
+
+def unpack_file(path, track_index: int | None = None,
+                f16: bool = False) -> UnpackedAac:
+    return unpack_adts(_file_adts(path, track_index), f16=f16)
+
+
+def unpack_file_q(path, track_index: int | None = None) -> UnpackedAacQ:
+    return unpack_adts_q(_file_adts(path, track_index))

@@ -1,0 +1,134 @@
+"""Device-side AAC spectral prep: requantize + PNS + stereo on-chip.
+
+Replaces the host requant/PNS/stereo/TNS stages of the AAC front-end
+(reference analysis path: /root/reference/src/replaygain.rs:779-785 via
+the symphonia AAC codec): the host ships QUANTIZED integer coefficients
+plus per-band metadata (decode/aac_frontend.unpack_adts_q), and this
+module replays ISO 14496-3 requantization (|q|^(4/3) * 2^(0.25(sf-100)),
+4.6.3), perceptual noise substitution (4.6.13) and M/S + intensity
+stereo (4.6.8) as batched XLA ops — elementwise VPU work plus one-hot
+(64 -> 1024) scalefactor-band expansion matmuls on the MXU.
+
+Frames the device path cannot express (EIGHT_SHORT windows, TNS,
+|q| > int16) arrive as fully host-decoded f16 fallback rows and are
+row-gathered over the computed spectra at the end (frame-granular, so a
+device lane never reads a fallback lane through the stereo coupling).
+
+PNS noise is decoder-specific by design (energies must match, values
+need not — the host decoder documents the same stance); the device path
+uses a counter-hash LCG keyed by (lane, position), energy-normalized
+per band exactly like the host (_native/aacdec.cpp apply_pns).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .aac_format_tables import SWB_1024_MAP, SWB_LONG_TABLES
+from .aac_frontend import ADTS_SR_INDEX
+
+N_BANDS = 64  # band-metadata slots (num_swb <= 51 for all rates)
+
+
+@lru_cache(maxsize=None)
+def band_expand_matrix(sample_rate: int) -> np.ndarray:
+    """(N_BANDS, 1024) 0/1 expansion: per-band values -> per-coefficient
+    (long windows; the device path never sees EIGHT_SHORT frames)."""
+    swb = SWB_LONG_TABLES[SWB_1024_MAP[ADTS_SR_INDEX[sample_rate]]]
+    e = np.zeros((N_BANDS, 1024), dtype=np.float32)
+    for k in range(len(swb) - 1):
+        e[k, swb[k] : swb[k + 1]] = 1.0
+    return e
+
+
+def _noise_uniform(rows: int, cols: int):
+    """Deterministic white noise in [-1, 1): an LCG-style integer hash
+    keyed by (row, col). int32 multiplies wrap (two's complement), which
+    is exactly the LCG arithmetic."""
+    key = (
+        jnp.arange(rows, dtype=jnp.int32)[:, None] * jnp.int32(1024)
+        + jnp.arange(cols, dtype=jnp.int32)[None, :]
+    )
+    s = key * jnp.int32(-1640531527)  # 2654435761 as int32 (Knuth hash)
+    s = s ^ (s >> 16)
+    s = s * jnp.int32(1664525) + jnp.int32(1013904223)
+    s = s ^ (s >> 13)
+    s = s * jnp.int32(1664525) + jnp.int32(1013904223)
+    return s.astype(jnp.float32) * jnp.float32(1.0 / 2147483648.0)
+
+
+def prep_spectra(spec_q, lvl, bmeta, fb16, fbexp, fbmap,
+                 *, sample_rate: int, n_channels: int, dtype=jnp.float32):
+    """Quantized batch -> requantized natural-order spectra (B, F, 1024).
+
+    spec_q (B, F, EXT) int16, trimmed to the batch's coded-band extent;
+    lvl (B, F, 64) int16; bmeta (B, F, 64) uint8 = btype | ms_used << 3;
+    fb16/fbexp the compacted fallback rows; fbmap (B*F,) row-gather map
+    (identity, or B*F + j for fallback lanes).
+    """
+    bsz, fl, ext = spec_q.shape
+    rows = bsz * fl
+    e_mat = jnp.asarray(band_expand_matrix(sample_rate), jnp.float32)
+
+    q = spec_q.reshape(rows, ext).astype(jnp.float32)
+    if ext < 1024:
+        q = jnp.pad(q, ((0, 0), (0, 1024 - ext)))
+
+    btype = (bmeta & 7).astype(jnp.int32).reshape(rows, N_BANDS)
+    msb = ((bmeta >> 3) & 1).astype(jnp.float32).reshape(rows, N_BANDS)
+    lvlf = lvl.astype(jnp.float32).reshape(rows, N_BANDS)
+
+    # Requantize: sign(q) * |q|^(4/3) * 2^(0.25 (sf - 100) - 15), the -15
+    # mapping int16 full scale to 1.0 (host parse_scale_factor_data).
+    gain_b = jnp.exp2(0.25 * (lvlf - 100.0) - 15.0)
+    gain_c = jnp.where(btype == 1, gain_b, 0.0) @ e_mat  # (R, 1024)
+    mag = jnp.power(jnp.abs(q), jnp.float32(4.0 / 3.0))
+    spec = jnp.sign(q) * mag * gain_c
+
+    # PNS: energy-normalized white noise per band (host apply_pns).
+    noise_b = (btype == 2).astype(jnp.float32)
+    r = _noise_uniform(rows, 1024)
+    nrg = r * r
+    e_band = nrg @ e_mat.T  # (R, 64) per-band raw noise energy
+    scale_b = noise_b * gain_b * jax.lax.rsqrt(e_band + 1e-30)
+    spec = spec + r * (scale_b @ e_mat)
+
+    if n_channels == 2:
+        # M/S + intensity, replaying _native/aacdec.cpp apply_stereo:
+        # per band (flags from the RIGHT channel): intensity bands
+        # reconstruct right from (post-PNS, pre-M/S) left; else ms_used
+        # bands that are not noise get l,r = l+r, l-r.
+        t = fl // 2
+        sp = spec.reshape(bsz, t, 2, 1024)
+        bt_r = btype.reshape(bsz, t, 2, N_BANDS)[:, :, 1]
+        ms_r = msb.reshape(bsz, t, 2, N_BANDS)[:, :, 1]
+        isp_r = lvlf.reshape(bsz, t, 2, N_BANDS)[:, :, 1]
+        l = sp[:, :, 0]
+        rr = sp[:, :, 1]
+
+        is_b = (bt_r == 3) | (bt_r == 4)
+        sgn_b = jnp.where(bt_r == 3, 1.0, -1.0)
+        sgn_b = jnp.where(ms_r > 0, -sgn_b, sgn_b)  # ms_used inverts
+        is_scale_b = jnp.where(is_b, sgn_b * jnp.exp2(-0.25 * isp_r), 0.0)
+        ms_b = (ms_r > 0) & (~is_b) & (bt_r != 2)
+
+        is_c = (is_b.astype(jnp.float32) @ e_mat) > 0
+        is_scale_c = is_scale_b @ e_mat
+        ms_c = (ms_b.astype(jnp.float32) @ e_mat) > 0
+
+        l2 = jnp.where(ms_c, l + rr, l)
+        r2 = jnp.where(is_c, is_scale_c * l, jnp.where(ms_c, l - rr, rr))
+        spec = jnp.stack([l2, r2], axis=2).reshape(rows, 1024)
+
+    # Fallback merge: host-decoded rows overwrite their lanes entirely
+    # (fb16 ships as float16 — the host buffer is a free numpy view of
+    # the native uint16 f16 bits).
+    fb = fb16.astype(jnp.float32)
+    fb = fb * jnp.exp2(fbexp.astype(jnp.float32))[:, None]
+    full = jnp.concatenate([spec, fb], axis=0)[fbmap]
+    return full.reshape(bsz, fl, 1024).astype(dtype)

@@ -239,10 +239,18 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
 
     # Unpack in a thread pool: the native AAC entropy stage drops the
     # GIL, so multi-core hosts get near-linear speedup (the MP3 wave
-    # unpack does the same; no-op on one core).
+    # unpack does the same; no-op on one core). With device prep the
+    # host skips requantize/PNS/stereo/TNS and ships quantized
+    # coefficients (aac.use_device_prep / decode/aac_prep.py).
+    device_prep = aac.use_device_prep()
+    batch_fn = aac.analyze_batch_q if device_prep else aac.analyze_batch
+
     def _unpack_one(p):
         try:
-            u = af.unpack_file(p, f16=True)
+            if device_prep:
+                u = af.unpack_file_q(p)
+            else:
+                u = af.unpack_file(p, f16=True)
             if u.n == 0:
                 raise aac.AacError("No decodable AAC frames found")
             return u, None
@@ -280,7 +288,7 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
             chunk = members[start : start + BATCH_THRESHOLD * 4]
             try:
                 t_b0 = time.monotonic()
-                hists, louds, peaks = aac.analyze_batch(
+                hists, louds, peaks = batch_fn(
                     [u for _, u in chunk], sr, nch
                 )
                 t_b1 = time.monotonic()
