@@ -264,16 +264,24 @@ def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
     stereo = np.stack([pcm, np.roll(pcm, 17)], axis=1).astype(np.float32) / 32768.0
     m4a = fixtures.encode_m4a(stereo, sr, bitrate=192000)
 
+    # Production path on TPU: quantized unpack (entropy decode only on
+    # host; requantize/PNS/stereo on device, decode/aac_prep.py). The
+    # full host-f16 front-end rate prints for comparison.
+    adts = af.mp4_to_adts(m4a)
     t0 = time.monotonic()
-    u = af.unpack_adts(af.mp4_to_adts(m4a), f16=True)
+    uf = af.unpack_adts(adts, f16=True)
+    host_f16_dt = time.monotonic() - t0
+    t0 = time.monotonic()
+    u = af.unpack_adts_q(adts)
     host_dt = time.monotonic() - t0
     nch = u.n_channels or 2
     track_sec = ((u.n // nch) * 1024) / sr
     host_x = track_sec / host_dt
-    print(f"aac host front-end: {host_x:.0f}x real-time/core",
+    print(f"aac host front-end: quantized {host_x:.0f}x real-time/core "
+          f"(full f16 decode {track_sec / host_f16_dt:.0f}x)",
           file=sys.stderr, flush=True)
 
-    args = aac.prepare_batch_arrays_aac([u] * tracks, nch)
+    args = aac.prepare_batch_arrays_aac_q([u] * tracks, nch)
     # Steady-state h2d: time the SECOND transfer. The first device_put
     # of a fresh large buffer pays one-time transfer-path setup (page
     # table walks, pinning) that a multi-batch scan amortizes away —
@@ -289,11 +297,12 @@ def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
           f"({nbytes / 1e6 / h2d_dt:.0f} MB/s)",
           file=sys.stderr, flush=True)
 
-    fn0 = aac._batch_fn(nch, sr, jnp.float32)
+    fn0 = aac._batch_fn_q(nch, sr, jnp.float32)
 
-    def fn(bump, spec, sexp, wseq, wshape, valid):
-        return fn0(spec + (bump % 3).astype(spec.dtype) * jnp.asarray(
-            1e-3, spec.dtype), sexp, wseq, wshape, valid)
+    def fn(bump, spec_q, *rest):
+        # Perturb the quantized coefficients per call to defeat the axon
+        # runtime's (executable, inputs) memoization (see _measure).
+        return fn0(spec_q + (bump % 3).astype(spec_q.dtype), *rest)
 
     audio_seconds = track_sec * tracks
     wall = _measure(jax.jit(fn), dev_args, lambda o: (o[2][:1] * 0).astype("int32")[0],

@@ -794,22 +794,29 @@ enum {
 //
 // Device-requant (Q) mode: long-window frames skip requantize, PNS,
 // stereo and TNS entirely on host; per lane the outputs are the raw
-// quantized coefficients (qspec, natural order int16), per-band raw
+// quantized coefficients (q8, natural order int8 — values outside
+// [-128, 127] ship as a sparse escape sideband: q8 holds 0 and
+// esc_idx/esc_val record (lane*1024+pos, value)), per-band raw
 // scalefactor integers (lvl: sf / PNS energy / intensity position),
 // band types (btype: 0 zero, 1 normal, 2 noise, 3 is+, 4 is-) and
 // ms_used flags (msf) — the device does the spectral prep. Frames the
 // device path cannot express (EIGHT_SHORT windows, TNS, |q| > int16)
 // fall back to the full host decode and ship as block-scaled f16 rows
-// (fb16/fbexp) with flag bit 32 in info[7].
+// (fb16/fbexp) with flag bit 32 in info[7]. *esc_count returns the
+// total escapes seen (retry with larger esc_cap if it exceeds it).
 static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
                                 float* spec, uint16_t* spec16,
                                 int8_t* sexp, int32_t* info, int64_t cap,
-                                int16_t* qspec = nullptr,
+                                int8_t* q8 = nullptr,
                                 int16_t* lvl = nullptr,
                                 uint8_t* btype = nullptr,
                                 uint8_t* msf = nullptr,
                                 uint16_t* fb16 = nullptr,
-                                int8_t* fbexp = nullptr) {
+                                int8_t* fbexp = nullptr,
+                                int32_t* esc_idx = nullptr,
+                                int16_t* esc_val = nullptr,
+                                int64_t esc_cap = 0,
+                                int64_t* esc_count = nullptr) {
   static const int kSr[16] = {96000, 88200, 64000, 48000, 44100, 32000,
                               24000, 22050, 16000, 12000, 11025, 8000,
                               0, 0, 0, 0};
@@ -906,7 +913,7 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
     // one way: stereo couples the channels, so a device lane must never
     // read a fallback lane.
     bool frame_fb = false;
-    if (qspec && ok) {
+    if (q8 && ok) {
       for (int c = 0; c < nch; ++c) {
         const Channel& ch = chans[c];
         if (ch.ics.window_sequence == EIGHT_SHORT || ch.tns_present ||
@@ -920,7 +927,7 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
     // entirely for device-routed frames (the device replays it from the
     // quantized coefficients + band metadata; PNS is decoder-specific by
     // design, so the device uses its own deterministic noise).
-    const bool host_dsp = ok && (!qspec || frame_fb);
+    const bool host_dsp = ok && (!q8 || frame_fb);
     if (host_dsp) {
       for (int c = 0; c < nch; ++c) requant_channel(&chans[c]);
       const double tq0 = g_aac_timing.enabled ? AacTiming::now() : 0;
@@ -953,7 +960,7 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
             sexp[rec] = 0;
           }
         } else {
-          int16_t* qs = qspec + rec * 1024;
+          int8_t* qs = q8 + rec * 1024;
           int16_t* lv = lvl + rec * 64;
           uint8_t* bt = btype + rec * 64;
           uint8_t* mf = msf + rec * 64;
@@ -963,8 +970,20 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
           fbexp[rec] = 0;
           if (ok && !frame_fb) {
             // Long windows: decode order is natural order already.
+            // |q| > 127 goes to the sparse escape sideband (q8 = 0 so
+            // the device scatter-ADD reconstructs the exact value).
             for (int i = 0; i < 1024; ++i) {
-              qs[i] = static_cast<int16_t>(ch.qcoef[i]);
+              const int32_t q = ch.qcoef[i];
+              if (q >= -128 && q <= 127) {
+                qs[i] = static_cast<int8_t>(q);
+              } else {
+                qs[i] = 0;
+                if (*esc_count < esc_cap) {
+                  esc_idx[*esc_count] = static_cast<int32_t>(rec * 1024 + i);
+                  esc_val[*esc_count] = static_cast<int16_t>(q);
+                }
+                ++*esc_count;
+              }
             }
             const IcsInfo& ics = ch.ics;
             const int nsfb = ics.max_sfb < 64 ? ics.max_sfb : 64;
@@ -985,7 +1004,7 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
               }
             }
           } else {
-            memset(qs, 0, 1024 * sizeof(int16_t));
+            memset(qs, 0, 1024);
             if (ok) {  // fallback: full host decode, block-scaled f16
               fbexp[rec] = spec_to_f16(ch.spec, fb16 + rec * 1024);
             } else {
@@ -1032,11 +1051,15 @@ int64_t mg_aac_unpack_adts_f16(const uint8_t* data, size_t len,
 // (decode/aac_prep.py). Frames the device path cannot express ship as
 // block-scaled f16 fallback rows (see unpack_adts_impl docs above).
 int64_t mg_aac_unpack_adts_q(const uint8_t* data, size_t len,
-                             int16_t* qspec, int16_t* lvl, uint8_t* btype,
+                             int8_t* q8, int16_t* lvl, uint8_t* btype,
                              uint8_t* msf, uint16_t* fb16, int8_t* fbexp,
+                             int32_t* esc_idx, int16_t* esc_val,
+                             int64_t esc_cap, int64_t* esc_count,
                              int32_t* info, int64_t cap) {
+  *esc_count = 0;
   return unpack_adts_impl(data, len, nullptr, nullptr, nullptr, info, cap,
-                          qspec, lvl, btype, msf, fb16, fbexp);
+                          q8, lvl, btype, msf, fb16, fbexp,
+                          esc_idx, esc_val, esc_cap, esc_count);
 }
 
 }  // extern "C"

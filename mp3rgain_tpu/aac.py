@@ -88,10 +88,11 @@ def _batch_fn_q(n_channels: int, sample_rate: int, dtype):
     DSP on device."""
     from .decode import aac_prep
 
-    def core(spec_q, lvl, bmeta, fb16, fbexp, fbmap,
-             window_seq, window_shape, valid_samples):
+    def core(spec_q, lvl, bmeta, esc_row, esc_pos, esc_val,
+             fb16, fbexp, fbmap, window_seq, window_shape, valid_samples):
         spec = aac_prep.prep_spectra(
-            spec_q, lvl, bmeta, fb16, fbexp, fbmap,
+            spec_q, lvl, bmeta, esc_row, esc_pos, esc_val,
+            fb16, fbexp, fbmap,
             sample_rate=sample_rate, n_channels=n_channels, dtype=dtype,
         )
         return _analysis_tail(
@@ -166,6 +167,9 @@ def use_device_prep() -> bool:
 # population small across batches.
 _FB_LADDER = (4, 16, 64, 256, 1024, 4096, 16384)
 
+# Escape-coefficient ladder (|q| > 127 positions, sparse scatter-add).
+_ESC_LADDER = (512, 2048, 8192, 32768, 131072, 524288)
+
 
 def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
     """Pad device-requant AAC tracks into ladder-quantized batch arrays
@@ -193,7 +197,11 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
             kmax = max(kmax, int(nz[-1]) + 1)
     ext = min(1024, max(128, -(-swb[min(kmax, len(swb) - 1)] // 128) * 128))
 
-    spec_q = bufpool.take_zeroed((bpad, f_max, ext), np.int16)
+    # The spectrum buffer dominates the payload; take it unzeroed and
+    # memset only the regions the per-track copies leave stale (pad rows
+    # per track + unused batch lanes) — a full fill() would re-touch
+    # every page of the biggest array per batch.
+    spec_q = bufpool.take((bpad, f_max, ext), np.int8)
     lvl = bufpool.take_zeroed((bpad, f_max, 64), np.int16)
     bmeta = bufpool.take_zeroed((bpad, f_max, 64), np.uint8)
     wseq = bufpool.take_zeroed((bpad, f_max), np.int32)
@@ -204,20 +212,44 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
 
     fb_rows = []
     fb_exps = []
+    esc_rows = []
+    esc_poss = []
+    esc_vals = []
     for i, u in enumerate(unpacked):
         n = (u.n // n_channels) * n_channels
         spec_q[i, :n] = u.qspec[:n, :ext]
+        spec_q[i, n:] = 0
         lvl[i, :n] = u.lvl[:n]
         bmeta[i, :n] = u.btype[:n] | (u.msf[:n] << 3)
         wseq[i, :n] = u.info[:n, af.WINDOW_SEQ]
         wshape[i, :n] = u.info[:n, af.WINDOW_SHAPE]
         valid[i] = (n // n_channels) * 1024
+        if len(u.esc_idx):
+            row = u.esc_idx >> 10
+            keep = row < n
+            # Escape positions always lie inside a coded band, and ext
+            # covers every coded band in the batch, so pos < ext.
+            esc_rows.append(row[keep] + i * f_max)
+            esc_poss.append((u.esc_idx & 1023)[keep])
+            esc_vals.append(u.esc_val[keep])
         for j, row in enumerate(u.fbrows):
             if row >= n:
                 continue
             fbmap[i * f_max + int(row)] = bpad * f_max + len(fb_rows)
             fb_rows.append(u.fb16[j])
             fb_exps.append(u.fbexp[j])
+    spec_q[bsz:] = 0
+
+    n_esc = sum(len(e) for e in esc_rows)
+    ecap = next((e for e in _ESC_LADDER if e >= max(n_esc, 1)),
+                max(n_esc, 1))
+    esc_row = np.zeros(ecap, np.int32)
+    esc_pos = np.zeros(ecap, np.int32)
+    esc_val = np.zeros(ecap, np.float32)  # padding adds 0.0 at (0, 0)
+    if n_esc:
+        esc_row[:n_esc] = np.concatenate(esc_rows)
+        esc_pos[:n_esc] = np.concatenate(esc_poss)
+        esc_val[:n_esc] = np.concatenate(esc_vals).astype(np.float32)
 
     fbp = next((f for f in _FB_LADDER if f >= max(len(fb_rows), 1)),
                max(len(fb_rows), 1))
@@ -226,8 +258,8 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
     if fb_rows:
         fb16[: len(fb_rows)] = np.stack(fb_rows)
         fbexp[: len(fb_rows)] = np.array(fb_exps, np.int8)
-    return (spec_q, lvl, bmeta, fb16.view(np.float16), fbexp, fbmap,
-            wseq, wshape, valid)
+    return (spec_q, lvl, bmeta, esc_row, esc_pos, esc_val,
+            fb16.view(np.float16), fbexp, fbmap, wseq, wshape, valid)
 
 
 def analyze_batch_q(unpacked: list, sample_rate: int, n_channels: int,
@@ -246,7 +278,7 @@ def analyze_batch_q(unpacked: list, sample_rate: int, n_channels: int,
     fn = _batch_fn_q(n_channels, sample_rate, dtype)
     dev_args = jax.device_put(args)
     jax.block_until_ready(dev_args)
-    bufpool.give(*args[:3], args[5], args[6], args[7])
+    bufpool.give(*args[:3], args[8], args[9], args[10])
     t2 = _time.monotonic()
     hist, loud_idx, peak = fn(*dev_args)
     stats = np.asarray(

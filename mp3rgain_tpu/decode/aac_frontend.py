@@ -43,9 +43,11 @@ _lib.mg_aac_unpack_adts_f16.argtypes = [
 _lib.mg_aac_unpack_adts_q.restype = ctypes.c_int64
 _lib.mg_aac_unpack_adts_q.argtypes = [
     _u8p, ctypes.c_size_t,
-    ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+    ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int16),
     ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int8),
+    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+    ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
 ]
 
@@ -93,10 +95,12 @@ class UnpackedAacQ:
     on device (decode/aac_prep.py); frames the device path cannot
     express (EIGHT_SHORT windows, TNS, |q| > int16) arrive as COMPACTED
     block-scaled f16 fallback rows (full host decode) with their lane
-    indices in fbrows.
+    indices in fbrows. Coefficients outside int8 (|q| > 127, rare) ship
+    sparsely: qspec holds 0 there and esc_idx/esc_val carry
+    (lane*1024+pos, exact int16 value) for a device scatter-add.
     """
 
-    qspec: np.ndarray  # (n, 1024) int16, natural order; zero on fb lanes
+    qspec: np.ndarray  # (n, 1024) int8, natural order; zero on fb lanes
     lvl: np.ndarray  # (n, 64) int16: sf / PNS energy / intensity position
     btype: np.ndarray  # (n, 64) uint8: 0 zero, 1 normal, 2 noise, 3 is+, 4 is-
     msf: np.ndarray  # (n, 64) uint8 ms_used flags
@@ -104,6 +108,8 @@ class UnpackedAacQ:
     fb16: np.ndarray  # (n_fb, 1024) uint16 f16 bits, block-scaled
     fbexp: np.ndarray  # (n_fb,) int8 per-row exponents
     fbrows: np.ndarray  # (n_fb,) int32 lane indices of the fallback rows
+    esc_idx: np.ndarray  # (n_esc,) int32 lane*1024 + position
+    esc_val: np.ndarray  # (n_esc,) int16 exact quantized values
 
     @property
     def n(self) -> int:
@@ -143,25 +149,33 @@ def _count_adts_channel_frames(data: bytes) -> int:
 
 def unpack_adts_q(data: bytes) -> UnpackedAacQ:
     cap = max(4, _count_adts_channel_frames(data))
+    esc_cap = 4096
     while True:
-        qspec = np.zeros((cap, 1024), dtype=np.int16)
+        qspec = np.zeros((cap, 1024), dtype=np.int8)
         lvl = np.zeros((cap, 64), dtype=np.int16)
         btype = np.zeros((cap, 64), dtype=np.uint8)
         msf = np.zeros((cap, 64), dtype=np.uint8)
         fb16 = np.zeros((cap, 1024), dtype=np.uint16)
         fbexp = np.zeros(cap, dtype=np.int8)
+        esc_idx = np.zeros(esc_cap, dtype=np.int32)
+        esc_val = np.zeros(esc_cap, dtype=np.int16)
+        esc_n = ctypes.c_int64(0)
         info = np.zeros((cap, INFO_N), dtype=np.int32)
         n = _lib.mg_aac_unpack_adts_q(
             _inbuf(data), len(data),
-            qspec.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            qspec.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             lvl.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             btype.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             msf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             fb16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             fbexp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            esc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            esc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            esc_cap, ctypes.byref(esc_n),
             info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
         )
-        if n <= cap:
+        if n <= cap and esc_n.value <= esc_cap:
+            ne = int(esc_n.value)
             info = info[:n]
             fbrows = np.nonzero(info[:, 7] & FLAG_FALLBACK)[0].astype(
                 np.int32
@@ -170,8 +184,10 @@ def unpack_adts_q(data: bytes) -> UnpackedAacQ:
                 qspec=qspec[:n], lvl=lvl[:n], btype=btype[:n], msf=msf[:n],
                 info=info, fb16=fb16[fbrows].copy(),
                 fbexp=fbexp[fbrows].copy(), fbrows=fbrows,
+                esc_idx=esc_idx[:ne].copy(), esc_val=esc_val[:ne].copy(),
             )
-        cap = int(n)
+        cap = max(cap, int(n))
+        esc_cap = max(esc_cap, int(esc_n.value))
 
 
 def unpack_adts(data: bytes, f16: bool = False) -> UnpackedAac:

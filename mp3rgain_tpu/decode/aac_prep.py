@@ -9,10 +9,13 @@ module replays ISO 14496-3 requantization (|q|^(4/3) * 2^(0.25(sf-100)),
 stereo (4.6.8) as batched XLA ops — elementwise VPU work plus one-hot
 (64 -> 1024) scalefactor-band expansion matmuls on the MXU.
 
-Frames the device path cannot express (EIGHT_SHORT windows, TNS,
-|q| > int16) arrive as fully host-decoded f16 fallback rows and are
-row-gathered over the computed spectra at the end (frame-granular, so a
-device lane never reads a fallback lane through the stereo coupling).
+The quantized spectrum ships as int8 (the payload's dominant term) with
+the rare |q| > 127 coefficients in a sparse escape sideband that a
+device scatter-add reconstructs exactly. Frames the device path cannot
+express (EIGHT_SHORT windows, TNS, |q| > int16) arrive as fully
+host-decoded f16 fallback rows and are row-gathered over the computed
+spectra at the end (frame-granular, so a device lane never reads a
+fallback lane through the stereo coupling).
 
 PNS noise is decoder-specific by design (energies must match, values
 need not — the host decoder documents the same stance); the device path
@@ -62,11 +65,15 @@ def _noise_uniform(rows: int, cols: int):
     return s.astype(jnp.float32) * jnp.float32(1.0 / 2147483648.0)
 
 
-def prep_spectra(spec_q, lvl, bmeta, fb16, fbexp, fbmap,
+def prep_spectra(spec_q, lvl, bmeta, esc_row, esc_pos, esc_val,
+                 fb16, fbexp, fbmap,
                  *, sample_rate: int, n_channels: int, dtype=jnp.float32):
     """Quantized batch -> requantized natural-order spectra (B, F, 1024).
 
-    spec_q (B, F, EXT) int16, trimmed to the batch's coded-band extent;
+    spec_q (B, F, EXT) int8, trimmed to the batch's coded-band extent;
+    coefficients outside int8 arrive sparsely as esc_row/esc_pos/esc_val
+    (flat-lane row, position, exact value — spec_q holds 0 there, so a
+    scatter-ADD reconstructs them; padding entries add 0.0 at (0, 0));
     lvl (B, F, 64) int16; bmeta (B, F, 64) uint8 = btype | ms_used << 3;
     fb16/fbexp the compacted fallback rows; fbmap (B*F,) row-gather map
     (identity, or B*F + j for fallback lanes).
@@ -75,9 +82,10 @@ def prep_spectra(spec_q, lvl, bmeta, fb16, fbexp, fbmap,
     rows = bsz * fl
     e_mat = jnp.asarray(band_expand_matrix(sample_rate), jnp.float32)
 
-    q = spec_q.reshape(rows, ext).astype(jnp.float32)
+    q = jnp.asarray(spec_q).reshape(rows, ext).astype(jnp.float32)
     if ext < 1024:
         q = jnp.pad(q, ((0, 0), (0, 1024 - ext)))
+    q = q.at[esc_row, esc_pos].add(jnp.asarray(esc_val, jnp.float32))
 
     btype = (bmeta & 7).astype(jnp.int32).reshape(rows, N_BANDS)
     msb = ((bmeta >> 3) & 1).astype(jnp.float32).reshape(rows, N_BANDS)

@@ -28,7 +28,7 @@ def _prep(data):
     nch = uq.n_channels or 1
     args = aac.prepare_batch_arrays_aac_q([uq], nch)
     spec = aac_prep.prep_spectra(
-        *args[:6], sample_rate=uq.sample_rate, n_channels=nch
+        *args[:9], sample_rate=uq.sample_rate, n_channels=nch
     )
     n = (uq.n // nch) * nch
     return np.asarray(spec)[0, :n], uq
@@ -165,6 +165,35 @@ def test_q_encoded_fixture_pns_energy_and_loudness(fixtures_dir):
     h_f, l_f, p_f = aac.analyze_batch([uf], uf.sample_rate, nch)
     assert abs(float(l_q[0]) - float(l_f[0])) <= 0.02
     assert float(p_q[0]) == pytest.approx(float(p_f[0]), rel=1e-3)
+
+
+def test_q_escape_sideband_reconstructs_large_coefficients():
+    """|q| > 127 ships sparsely (int8 spectrum + escape scatter-add);
+    a loud high-bitrate encode produces hundreds of them naturally and
+    the device prep must still match the host f32 oracle exactly."""
+    from mp3rgain_tpu.testing import fixtures as fx
+
+    sr = 44100
+    t = np.arange(sr * 3) / sr
+    wave = 0.95 * np.sin(2 * np.pi * 220.0 * t)
+    wave *= np.sign(np.sin(2 * np.pi * 0.5 * t))
+    pcm = np.stack([wave, wave], axis=1).astype(np.float32)
+    adts = af.mp4_to_adts(fx.encode_m4a(pcm, sr, bitrate=256000))
+
+    spec_q, uq = _prep(adts)
+    assert len(uq.esc_idx) > 100, "fixture stopped producing escapes"
+    assert int(np.abs(uq.esc_val).max()) > 127
+    ref = af.unpack_adts(adts)
+    fb_lanes = set(int(r) for r in uq.fbrows)
+    checked = 0
+    for lane in range(uq.n):
+        tol = 2e-3 if lane in fb_lanes else 3e-5  # f16 fallback vs f32
+        d = np.abs(spec_q[lane] - ref.spec[lane]).max()
+        s = np.abs(ref.spec[lane]).max() + 1e-9
+        assert d < tol * s, lane
+        if lane not in fb_lanes and (uq.esc_idx >> 10 == lane).any():
+            checked += 1
+    assert checked > 0, "no device-routed lane carried an escape"
 
 
 def test_q_analyze_batch_mixed_fallback():
