@@ -801,9 +801,10 @@ enum {
 // band types (btype: 0 zero, 1 normal, 2 noise, 3 is+, 4 is-) and
 // ms_used flags (msf) — the device does the spectral prep. Frames the
 // device path cannot express (EIGHT_SHORT windows, TNS, |q| > int16)
-// fall back to the full host decode and ship as block-scaled f16 rows
-// (fb16/fbexp) with flag bit 32 in info[7]. *esc_count returns the
-// total escapes seen (retry with larger esc_cap if it exceeds it).
+// fall back to the full host decode and ship as COMPACTED block-scaled
+// f16 rows (fb16/fbexp, in lane order; lane indices recoverable from
+// flag bit 32 in info[7]). *esc_count / *fb_count return the totals
+// seen (retry with larger caps if either exceeds its cap).
 static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
                                 float* spec, uint16_t* spec16,
                                 int8_t* sexp, int32_t* info, int64_t cap,
@@ -816,7 +817,9 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
                                 int32_t* esc_idx = nullptr,
                                 int16_t* esc_val = nullptr,
                                 int64_t esc_cap = 0,
-                                int64_t* esc_count = nullptr) {
+                                int64_t* esc_count = nullptr,
+                                int64_t fb_cap = 0,
+                                int64_t* fb_count = nullptr) {
   static const int kSr[16] = {96000, 88200, 64000, 48000, 44100, 32000,
                               24000, 22050, 16000, 12000, 11025, 8000,
                               0, 0, 0, 0};
@@ -967,7 +970,6 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
           memset(lv, 0, 64 * sizeof(int16_t));
           memset(bt, 0, 64);
           memset(mf, 0, 64);
-          fbexp[rec] = 0;
           if (ok && !frame_fb) {
             // Long windows: decode order is natural order already.
             // |q| > 127 goes to the sparse escape sideband (q8 = 0 so
@@ -1005,11 +1007,13 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
             }
           } else {
             memset(qs, 0, 1024);
-            if (ok) {  // fallback: full host decode, block-scaled f16
-              fbexp[rec] = spec_to_f16(ch.spec, fb16 + rec * 1024);
-            } else {
-              memset(fb16 + rec * 1024, 0, 1024 * sizeof(uint16_t));
-            }
+            if (ok) {  // fallback: full host decode, compacted f16 row
+              if (*fb_count < fb_cap) {
+                fbexp[*fb_count] = spec_to_f16(ch.spec,
+                                               fb16 + *fb_count * 1024);
+              }
+              ++*fb_count;
+            }  // !ok lanes ship as all-zero qspec, no f16 row
           }
         }
         in[AAC_FRAME] = static_cast<int32_t>(frame_idx);
@@ -1053,13 +1057,16 @@ int64_t mg_aac_unpack_adts_f16(const uint8_t* data, size_t len,
 int64_t mg_aac_unpack_adts_q(const uint8_t* data, size_t len,
                              int8_t* q8, int16_t* lvl, uint8_t* btype,
                              uint8_t* msf, uint16_t* fb16, int8_t* fbexp,
+                             int64_t fb_cap, int64_t* fb_count,
                              int32_t* esc_idx, int16_t* esc_val,
                              int64_t esc_cap, int64_t* esc_count,
                              int32_t* info, int64_t cap) {
   *esc_count = 0;
+  *fb_count = 0;
   return unpack_adts_impl(data, len, nullptr, nullptr, nullptr, info, cap,
                           q8, lvl, btype, msf, fb16, fbexp,
-                          esc_idx, esc_val, esc_cap, esc_count);
+                          esc_idx, esc_val, esc_cap, esc_count,
+                          fb_cap, fb_count);
 }
 
 }  // extern "C"

@@ -46,6 +46,7 @@ _lib.mg_aac_unpack_adts_q.argtypes = [
     ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int16),
     ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int8),
+    ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
     ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -149,14 +150,21 @@ def _count_adts_channel_frames(data: bytes) -> int:
 
 def unpack_adts_q(data: bytes) -> UnpackedAacQ:
     cap = max(4, _count_adts_channel_frames(data))
-    esc_cap = 4096
+    # Escape entries cost 6 bytes; size the sideband generously (16 per
+    # channel-frame covers even noise-dense encodes) so the full-stream
+    # re-decode retry below is reserved for pathological content. The
+    # fallback rows ship compacted (in lane order, matching the info
+    # flag); most streams have none, so start that cap small.
+    esc_cap = max(4096, cap * 16)
+    fb_cap = max(64, cap // 8)
     while True:
         qspec = np.zeros((cap, 1024), dtype=np.int8)
         lvl = np.zeros((cap, 64), dtype=np.int16)
         btype = np.zeros((cap, 64), dtype=np.uint8)
         msf = np.zeros((cap, 64), dtype=np.uint8)
-        fb16 = np.zeros((cap, 1024), dtype=np.uint16)
-        fbexp = np.zeros(cap, dtype=np.int8)
+        fb16 = np.zeros((fb_cap, 1024), dtype=np.uint16)
+        fbexp = np.zeros(fb_cap, dtype=np.int8)
+        fb_n = ctypes.c_int64(0)
         esc_idx = np.zeros(esc_cap, dtype=np.int32)
         esc_val = np.zeros(esc_cap, dtype=np.int16)
         esc_n = ctypes.c_int64(0)
@@ -169,25 +177,30 @@ def unpack_adts_q(data: bytes) -> UnpackedAacQ:
             msf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             fb16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             fbexp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            fb_cap, ctypes.byref(fb_n),
             esc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             esc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             esc_cap, ctypes.byref(esc_n),
             info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
         )
-        if n <= cap and esc_n.value <= esc_cap:
+        if (n <= cap and esc_n.value <= esc_cap
+                and fb_n.value <= fb_cap):
             ne = int(esc_n.value)
+            nfb = int(fb_n.value)
             info = info[:n]
             fbrows = np.nonzero(info[:, 7] & FLAG_FALLBACK)[0].astype(
                 np.int32
             )
+            assert len(fbrows) == nfb, (len(fbrows), nfb)
             return UnpackedAacQ(
                 qspec=qspec[:n], lvl=lvl[:n], btype=btype[:n], msf=msf[:n],
-                info=info, fb16=fb16[fbrows].copy(),
-                fbexp=fbexp[fbrows].copy(), fbrows=fbrows,
+                info=info, fb16=fb16[:nfb], fbexp=fbexp[:nfb],
+                fbrows=fbrows,
                 esc_idx=esc_idx[:ne].copy(), esc_val=esc_val[:ne].copy(),
             )
         cap = max(cap, int(n))
         esc_cap = max(esc_cap, int(esc_n.value))
+        fb_cap = max(fb_cap, int(fb_n.value))
 
 
 def unpack_adts(data: bytes, f16: bool = False) -> UnpackedAac:
