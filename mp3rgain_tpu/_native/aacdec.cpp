@@ -151,6 +151,24 @@ struct Vlc {
     }
   }
 
+  // Decode one codeword from a preloaded left-aligned 64-bit window.
+  // Returns entry index or -1; *len receives the full codeword length.
+  // Lets the spectral hot loop fetch codeword + sign bits from ONE
+  // 64-bit load instead of separate peek/get rounds.
+  int decode_w(uint64_t w, int* len) const {
+    uint16_t v = l1[w >> (64 - kL1)];
+    if (v == 0xFFFF) return -1;
+    if (v & 0x8000) {
+      v = l2v[((v & 0x7FFF) << 10) +
+              static_cast<uint32_t>((w >> (64 - kL1 - 10)) & 0x3FF)];
+      if (v == 0xFFFF) return -1;
+      *len = kL1 + ((v >> 9) & 0x3F);
+    } else {
+      *len = (v >> 9) & 0x3F;
+    }
+    return v & 0x1FF;
+  }
+
   // Returns entry index or -1.
   int decode(BitReader* br) const {
     uint16_t v = l1[br->peek(kL1)];
@@ -251,6 +269,22 @@ struct Channel {
   bool overflow = false;  // |quantized| > int16: force host requant
   int32_t qcoef[1024] = {};  // quantized coefficients, decode order
   float spec[1024] = {};  // requantized, natural window order
+
+  // Per-frame reset of only the state parsing doesn't fully overwrite:
+  // qcoef (bands outside the coded sections keep their zeros), the |=
+  // flag fields, and tns_present/overflow (an early parse error must
+  // not leak a stale true into the frame's routing). The per-band
+  // tables (band_cb, sf*, noise*, is_pos) are rewritten for every band
+  // any reader visits (k < max_sfb), and spec is zeroed lazily at the
+  // top of requant_channel — a full Channel copy memset ~34 KB per
+  // channel-frame and dominated the non-Huffman host time.
+  void reset_for_frame() {
+    memset(qcoef, 0, sizeof(qcoef));
+    global_gain = 0;
+    dbg_flags = 0;
+    tns_present = false;
+    overflow = false;
+  }
 };
 
 constexpr int CB_ZERO = 0, CB_NOISE = 13, CB_IS_MINUS = 14, CB_IS_PLUS = 15;
@@ -472,22 +506,53 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
       const int total = width * glen;
       const int8_t (*dequant)[4] = v.vals[cb - 1];
       for (int i = 0; i < total; i += dim) {
-        const int idx = vb.decode(br);
-        if (idx < 0 || br->overrun) return false;
-        int vals[4];
-        for (int d = 0; d < dim; ++d) vals[d] = dequant[idx][d];
+        // Fast path: one left-aligned 64-bit window covers the codeword
+        // (<= 19 bits) plus the tuple's sign bits (<= 4) — one load +
+        // bswap per tuple instead of separate peek and get rounds.
         // Bitstream order: all sign bits for the tuple, then escape
-        // sequences per coefficient (ISO 14496-3 spectral_data()). All
-        // sign bits are fetched in one read (first nonzero gets the
-        // most-significant bit).
-        if (uns) {
-          int nnz = 0;
-          for (int d = 0; d < dim; ++d) nnz += vals[d] != 0;
-          if (nnz) {
-            uint32_t sb = br->get(nnz);
-            for (int d = 0; d < dim; ++d) {
-              if (vals[d]) {
-                if ((sb >> --nnz) & 1) vals[d] = -vals[d];
+        // sequences per coefficient (ISO 14496-3 spectral_data()); the
+        // first nonzero gets the most-significant sign bit.
+        int vals[4];
+        const size_t byte = br->bit >> 3;
+        if (byte + 8 <= br->len) {
+          uint64_t w = br->load64(byte) << (br->bit & 7);
+          int clen;
+          const int idx = vb.decode_w(w, &clen);
+          if (idx < 0) return false;
+          // copy all 4 (rows are zero-padded): the nnz count below
+          // reads vals[2..3] even for 2-tuple codebooks
+          for (int d = 0; d < 4; ++d) vals[d] = dequant[idx][d];
+          int nbits = clen;
+          if (uns) {
+            // dequant rows are zero-padded to 4, so counting all four
+            // entries equals counting the tuple's dim entries.
+            int nnz = (vals[0] != 0) + (vals[1] != 0) + (vals[2] != 0) +
+                      (vals[3] != 0);
+            if (nnz) {
+              w <<= clen;
+              uint32_t sb = static_cast<uint32_t>(w >> (64 - nnz));
+              nbits += nnz;
+              for (int d = 0; d < dim; ++d) {
+                if (vals[d]) {
+                  if ((sb >> --nnz) & 1) vals[d] = -vals[d];
+                }
+              }
+            }
+          }
+          br->bit += nbits;
+        } else {
+          const int idx = vb.decode(br);
+          if (idx < 0 || br->overrun) return false;
+          for (int d = 0; d < dim; ++d) vals[d] = dequant[idx][d];
+          if (uns) {
+            int nnz = 0;
+            for (int d = 0; d < dim; ++d) nnz += vals[d] != 0;
+            if (nnz) {
+              uint32_t sb = br->get(nnz);
+              for (int d = 0; d < dim; ++d) {
+                if (vals[d]) {
+                  if ((sb >> --nnz) & 1) vals[d] = -vals[d];
+                }
               }
             }
           }
@@ -541,6 +606,9 @@ void requant_channel(Channel* ch) {
   const int32_t* coef = ch->qcoef;
   int group_offset = 0;
   const double t1 = g_aac_timing.enabled ? AacTiming::now() : 0;
+  // spec is zeroed here (not in the per-frame reset) so the q-mode
+  // path, which skips requantization entirely, never pays for it.
+  memset(ch->spec, 0, sizeof(ch->spec));
   if (ics.window_sequence != EIGHT_SHORT) {
     // Long windows: one group of one window — decode order IS natural
     // order, so this is a straight sparse pass over the coded bands.
@@ -850,8 +918,8 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
     BitReader br{data + pos + header, full_len - header, 0};
 
     const double tr0 = g_aac_timing.enabled ? AacTiming::now() : 0;
-    chans[0] = Channel();
-    chans[1] = Channel();
+    chans[0].reset_for_frame();
+    chans[1].reset_for_frame();
     if (g_aac_timing.enabled) g_aac_timing.reset += AacTiming::now() - tr0;
     int nch = 0;
     bool ok = true;
