@@ -231,9 +231,14 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
 
 
 def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
-    """Bucketed batch analysis for AAC files (mirrors the MP3 path:
-    per-file unpack isolation, (sr, nch) buckets, one device dispatch
-    per batch, checkpoint after each batch)."""
+    """Wave-streamed batch analysis for AAC files (mirrors the MP3
+    analyze_library shape): per-file unpack isolation, (sr, nch)
+    buckets, device batches run on an uploader thread so the host
+    unpack of wave k+1 overlaps the pack/h2d/compute of batch k, a
+    bounded number of waves of unpacked audio in memory at once, and a
+    manifest checkpoint after every collected batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import aac
     from .decode import aac_frontend as af
 
@@ -258,77 +263,112 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
             return None, e
 
     scan_time = bool(os.environ.get("MP3RGAIN_SCAN_TIME"))
-    t_u0 = time.monotonic()
-    workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)
-    if workers > 1 and len(paths) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            unpacked = list(pool.map(_unpack_one, paths))
-    else:
-        unpacked = [_unpack_one(p) for p in paths]
-    if scan_time:
-        import sys as _sys
-
-        print(f"aac scan: unpack {time.monotonic() - t_u0:.2f}s "
-              f"({len(paths)} files)", file=_sys.stderr, flush=True)
-
+    batch_cap = BATCH_THRESHOLD * 4
+    wave_size = batch_cap * 2
     buckets: dict[tuple[int, int], list] = {}
-    for p, (u, err) in zip(paths, unpacked):
-        if err is not None:
-            out.results[str(p)] = err
-            if progress_cb:
-                progress_cb(str(p))
-            continue
-        nch = u.n_channels or 1
-        buckets.setdefault((u.sample_rate, nch), []).append((p, u))
+    inflight: list = []  # [(future, chunk, sr, nch)]
+    # One uploader thread owns all device work (pack + h2d + compute);
+    # the main thread only unpacks, so the two streams overlap. Up to
+    # two batches are in flight (one computing, one queued).
+    uploader = ThreadPoolExecutor(max_workers=1)
 
-    for (sr, nch), members in buckets.items():
-        for start in range(0, len(members), BATCH_THRESHOLD * 4):
-            chunk = members[start : start + BATCH_THRESHOLD * 4]
-            try:
-                t_b0 = time.monotonic()
-                hists, louds, peaks = batch_fn(
-                    [u for _, u in chunk], sr, nch
-                )
-                t_b1 = time.monotonic()
-                hists = _pull_histograms(hists)
-                if scan_time:
-                    import sys as _sys
+    def _run_batch(chunk, sr, nch):
+        t_b0 = time.monotonic()
+        hists, louds, peaks = batch_fn([u for _, u in chunk], sr, nch)
+        return hists, louds, peaks, time.monotonic() - t_b0
 
-                    print(
-                        f"aac scan batch: n={len(chunk)} sr={sr} "
-                        f"analyze={t_b1 - t_b0:.2f}s "
-                        f"hist_pull={time.monotonic() - t_b1:.2f}s",
-                        file=_sys.stderr, flush=True,
-                    )
-            except Exception as e:
-                for p, _ in chunk:
-                    out.results[str(p)] = e
-                    if progress_cb:
-                        progress_cb(str(p))
-                continue
-            for j, (p, u) in enumerate(chunk):
-                loud = float(louds[j])
-                res = ReplayGainResult(
-                    loudness_db=loud,
-                    gain_db=PINK_REF - loud,
-                    peak=float(peaks[j]),
-                    sample_rate=sr,
-                    file_type="aac",
+    def collect_one():
+        fut, chunk, sr, nch = inflight.pop(0)
+        try:
+            hists, louds, peaks, batch_dt = fut.result()
+            t_p0 = time.monotonic()
+            hists = _pull_histograms(hists)
+            if scan_time:
+                import sys as _sys
+
+                print(
+                    f"aac scan batch: n={len(chunk)} sr={sr} "
+                    f"analyze={batch_dt:.2f}s "
+                    f"hist_pull={time.monotonic() - t_p0:.2f}s",
+                    file=_sys.stderr, flush=True,
                 )
-                hist = hists[j]
-                out.results[str(p)] = res
-                out.histograms[str(p)] = hist
-                manifest.store(str(p), res, hist)
-                # Duration from decoded sample counts (histograms drop
-                # silence windows, so hist.sum()*0.05 undercounts quiet
-                # tracks).
-                n = (u.n // nch) * nch
-                out.audio_seconds += (n // nch) * 1024 / sr if sr else 0.0
+        except Exception as e:
+            for p, _ in chunk:
+                out.results[str(p)] = e
                 if progress_cb:
                     progress_cb(str(p))
-            manifest.save()
+            return
+        for j, (p, u) in enumerate(chunk):
+            loud = float(louds[j])
+            res = ReplayGainResult(
+                loudness_db=loud,
+                gain_db=PINK_REF - loud,
+                peak=float(peaks[j]),
+                sample_rate=sr,
+                file_type="aac",
+            )
+            hist = hists[j]
+            out.results[str(p)] = res
+            out.histograms[str(p)] = hist
+            manifest.store(str(p), res, hist)
+            # Duration from decoded sample counts (histograms drop
+            # silence windows, so hist.sum()*0.05 undercounts quiet
+            # tracks).
+            n = (u.n // nch) * nch
+            out.audio_seconds += (n // nch) * 1024 / sr if sr else 0.0
+            if progress_cb:
+                progress_cb(str(p))
+        # Checkpoint after every collected batch so a killed scan
+        # resumes from the last batch, not from zero (MP3 path parity).
+        manifest.save()
+
+    def flush_bucket(key, members):
+        sr, nch = key
+        inflight.append(
+            (uploader.submit(_run_batch, members, sr, nch),
+             members, sr, nch)
+        )
+        while len(inflight) > 2:
+            collect_one()
+
+    paths = list(paths)
+    workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)
+    try:
+        for wstart in range(0, len(paths), wave_size):
+            wave = paths[wstart : wstart + wave_size]
+            t_u0 = time.monotonic()
+            if workers > 1 and len(wave) > 1:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    unpacked = list(pool.map(_unpack_one, wave))
+            else:
+                unpacked = [_unpack_one(p) for p in wave]
+            if scan_time:
+                import sys as _sys
+
+                print(f"aac scan: unpack {time.monotonic() - t_u0:.2f}s "
+                      f"({len(wave)} files)", file=_sys.stderr, flush=True)
+
+            for p, (u, err) in zip(wave, unpacked):
+                if err is not None:
+                    out.results[str(p)] = err
+                    if progress_cb:
+                        progress_cb(str(p))
+                    continue
+                nch = u.n_channels or 1
+                key = (u.sample_rate, nch)
+                members = buckets.setdefault(key, [])
+                members.append((p, u))
+                if len(members) >= batch_cap:
+                    flush_bucket(key, members)
+                    buckets[key] = []
+
+        for key, members in buckets.items():
+            if members:
+                flush_bucket(key, members)
+        while inflight:
+            collect_one()
+    finally:
+        uploader.shutdown(wait=True)
 
 
 def album_union(scan: ScanResult, paths) -> tuple[float, float, float]:

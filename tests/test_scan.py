@@ -157,3 +157,41 @@ def test_sparse_histogram_readback_matches_dense():
     big[0, : 9000] = 1
     got = sc._pull_histograms(jnp.asarray(big))
     np.testing.assert_array_equal(got, big)
+
+
+def test_aac_scan_streams_batches(tmp_path):
+    """The wave-streamed AAC scan (uploader thread, per-batch manifest
+    checkpoints) must match per-file analysis, isolate corrupt files,
+    and resume from the manifest."""
+    from mp3rgain_tpu import analysis
+    from mp3rgain_tpu.testing import fixtures
+
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    pcm = np.stack([0.4 * np.sin(2 * np.pi * 440.0 * t)] * 2, axis=1)
+    data = fixtures.encode_m4a(pcm.astype(np.float32), sr)
+    paths = []
+    for i in range(18):
+        dst = tmp_path / f"aac{i:02d}.m4a"
+        dst.write_bytes(data)
+        paths.append(dst)
+    bad = tmp_path / "bad.m4a"
+    bad.write_bytes(b"\x00" * 4096)
+    paths.append(bad)
+
+    manifest = tmp_path / "aacscan.json"
+    res = scan.scan_files(paths, manifest_path=manifest)
+    assert isinstance(res.results[str(bad)], Exception)
+    seq = analysis.analyze_track_internal(paths[0]).result
+    for p in paths[:18]:
+        got = res.results[str(p)]
+        assert got.gain_db == pytest.approx(seq.gain_db, abs=1e-9)
+        assert got.file_type == "aac"
+    assert res.audio_seconds > 18 * 1.5
+
+    # The per-batch checkpoint persisted every good track: a second
+    # scan resumes all of them without re-decoding.
+    r2 = scan.scan_files(paths, manifest_path=manifest)
+    assert r2.resumed == 18
+    for p in paths[:18]:
+        assert r2.results[str(p)].gain_db == res.results[str(p)].gain_db
