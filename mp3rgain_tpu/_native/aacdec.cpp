@@ -505,6 +505,11 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
       const bool uns = kAacSpecUnsigned[cb - 1];
       const int total = width * glen;
       const int8_t (*dequant)[4] = v.vals[cb - 1];
+      // Hoist the per-coefficient position math and bound check: the
+      // band's stores are contiguous at base+i+d, and almost every
+      // band fits entirely below 1024.
+      const int base = group_offset + band_start * glen;
+      const bool in_bounds = base >= 0 && base + total <= 1024;
       for (int i = 0; i < total; i += dim) {
         // Fast path: one left-aligned 64-bit window covers the codeword
         // (<= 19 bits) plus the tuple's sign bits (<= 4) — one load +
@@ -557,19 +562,25 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
             }
           }
         }
-        for (int d = 0; d < dim; ++d) {
-          int val = vals[d];
-          if (cb == 11 && (val == 16 || val == -16)) {
-            int n = 4;
-            while (br->get(1) && n < 16) ++n;
-            const int off = br->get(n);
-            const int mag = (1 << n) + off;
-            val = val < 0 ? -mag : mag;
-            if (mag > 32767) ch->overflow = true;
+        if (cb != 11 && in_bounds) {
+          // Common case: no escapes possible, whole band in bounds —
+          // plain unchecked stores the compiler can vectorize.
+          for (int d = 0; d < dim; ++d) coef[base + i + d] = vals[d];
+        } else {
+          for (int d = 0; d < dim; ++d) {
+            int val = vals[d];
+            if (cb == 11 && (val == 16 || val == -16)) {
+              int n = 4;
+              while (br->get(1) && n < 16) ++n;
+              const int off = br->get(n);
+              const int mag = (1 << n) + off;
+              val = val < 0 ? -mag : mag;
+              if (mag > 32767) ch->overflow = true;
+            }
+            // position: within group g, band k, interleaved by window
+            const int pos = base + i + d;
+            if (pos >= 0 && pos < 1024) coef[pos] = val;
           }
-          // position: within group g, band k, interleaved by window
-          const int pos = group_offset + band_start * glen + i + d;
-          if (pos < 1024) coef[pos] = val;
         }
       }
     }
@@ -1042,17 +1053,32 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
             // Long windows: decode order is natural order already.
             // |q| > 127 goes to the sparse escape sideband (q8 = 0 so
             // the device scatter-ADD reconstructs the exact value).
+            // Most frames have no escapes: detect with a vectorizable
+            // range scan, then narrow with a branch-free copy.
+            int32_t mn = 0, mx = 0;
             for (int i = 0; i < 1024; ++i) {
               const int32_t q = ch.qcoef[i];
-              if (q >= -128 && q <= 127) {
-                qs[i] = static_cast<int8_t>(q);
-              } else {
-                qs[i] = 0;
-                if (*esc_count < esc_cap) {
-                  esc_idx[*esc_count] = static_cast<int32_t>(rec * 1024 + i);
-                  esc_val[*esc_count] = static_cast<int16_t>(q);
+              mn = q < mn ? q : mn;
+              mx = q > mx ? q : mx;
+            }
+            if (mn >= -128 && mx <= 127) {
+              for (int i = 0; i < 1024; ++i) {
+                qs[i] = static_cast<int8_t>(ch.qcoef[i]);
+              }
+            } else {
+              for (int i = 0; i < 1024; ++i) {
+                const int32_t q = ch.qcoef[i];
+                if (q >= -128 && q <= 127) {
+                  qs[i] = static_cast<int8_t>(q);
+                } else {
+                  qs[i] = 0;
+                  if (*esc_count < esc_cap) {
+                    esc_idx[*esc_count] =
+                        static_cast<int32_t>(rec * 1024 + i);
+                    esc_val[*esc_count] = static_cast<int16_t>(q);
+                  }
+                  ++*esc_count;
                 }
-                ++*esc_count;
               }
             }
             const IcsInfo& ics = ch.ics;
