@@ -88,15 +88,16 @@ def _batch_fn_q(n_channels: int, sample_rate: int, dtype):
     DSP on device."""
     from .decode import aac_prep
 
-    def core(spec_q, lvl, bmeta, esc_row, esc_pos, esc_val,
+    def core(spec_q4, meta, esc_row, esc_pos, esc_val,
              fb16, fbexp, fbmap, window_seq, window_shape, valid_samples):
         spec = aac_prep.prep_spectra(
-            spec_q, lvl, bmeta, esc_row, esc_pos, esc_val,
+            spec_q4, meta, esc_row, esc_pos, esc_val,
             fb16, fbexp, fbmap,
             sample_rate=sample_rate, n_channels=n_channels, dtype=dtype,
         )
         return _analysis_tail(
-            spec, window_seq, window_shape, valid_samples,
+            spec, window_seq.astype(jnp.int32),
+            window_shape.astype(jnp.int32), valid_samples,
             n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
         )
 
@@ -167,8 +168,12 @@ def use_device_prep() -> bool:
 # population small across batches.
 _FB_LADDER = (4, 16, 64, 256, 1024, 4096, 16384)
 
-# Escape-coefficient ladder (|q| > 127 positions, sparse scatter-add).
-_ESC_LADDER = (512, 2048, 8192, 32768, 131072, 524288)
+# Escape-coefficient ladder (|q| > 7 positions, sparse scatter-add;
+# ~1.4% of coefficients on real content, 8 B each). Geometric at the
+# bottom, then linear 512k steps: a 4x jump at the top would ship
+# megabytes of zero padding per batch.
+_ESC_LADDER = tuple([512, 2048, 8192, 32768, 131072]
+                    + [524288 * k for k in range(1, 33)])
 
 
 def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
@@ -197,15 +202,17 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
             kmax = max(kmax, int(nz[-1]) + 1)
     ext = min(1024, max(128, -(-swb[min(kmax, len(swb) - 1)] // 128) * 128))
 
-    # The spectrum buffer dominates the payload; take it unzeroed and
-    # memset only the regions the per-track copies leave stale (pad rows
-    # per track + unused batch lanes) — a full fill() would re-touch
-    # every page of the biggest array per batch.
-    spec_q = bufpool.take((bpad, f_max, ext), np.int8)
-    lvl = bufpool.take_zeroed((bpad, f_max, 64), np.int16)
-    bmeta = bufpool.take_zeroed((bpad, f_max, 64), np.uint8)
-    wseq = bufpool.take_zeroed((bpad, f_max), np.int32)
-    wshape = bufpool.take_zeroed((bpad, f_max), np.int32)
+    # The spectrum buffer dominates the payload: two signed 4-bit
+    # coefficients per byte, with every |q| > 7 routed to the sparse
+    # escape sideband (prep_spectra scatter-adds them back exactly).
+    # Take it unzeroed and memset only the regions the per-track copies
+    # leave stale (pad rows per track + unused batch lanes) — a full
+    # fill() would re-touch every page of the biggest array per batch.
+    exth = ext // 2
+    spec_q4 = bufpool.take((bpad, f_max, exth), np.int8)
+    meta = bufpool.take_zeroed((bpad, f_max, 64), np.uint16)
+    wseq = bufpool.take_zeroed((bpad, f_max), np.uint8)
+    wshape = bufpool.take_zeroed((bpad, f_max), np.uint8)
     valid = np.zeros(bpad, np.int32)
     fbmap = bufpool.take((bpad * f_max,), np.int32)
     fbmap[:] = np.arange(bpad * f_max, dtype=np.int32)
@@ -217,20 +224,36 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
     esc_vals = []
     for i, u in enumerate(unpacked):
         n = (u.n // n_channels) * n_channels
-        spec_q[i, :n] = u.qspec[:n, :ext]
-        spec_q[i, n:] = 0
-        lvl[i, :n] = u.lvl[:n]
-        bmeta[i, :n] = u.btype[:n] | (u.msf[:n] << 3)
-        wseq[i, :n] = u.info[:n, af.WINDOW_SEQ]
-        wshape[i, :n] = u.info[:n, af.WINDOW_SHAPE]
+        a = u.qspec[:n, :ext]
+        big = (a > 7) | (a < -7)  # not np.abs: abs(int8 -128) overflows
+        if big.any():
+            r2, p2 = np.nonzero(big)
+            esc_rows.append((r2 + i * f_max).astype(np.int32))
+            esc_poss.append(p2.astype(np.int16))
+            esc_vals.append(a[r2, p2].astype(np.int16))
+            a = np.where(big, np.int8(0), a)
+        # Two's-complement nibble pack: low nibble = even coefficient.
+        spec_q4[i, :n] = (a[:, 0::2] & np.int8(15)) | (a[:, 1::2] << 4)
+        spec_q4[i, n:] = 0
+        # lvl (sf / PNS energy / intensity position) fits 12 bits with
+        # a +2048 bias (values beyond ±2048 overflow exp2 in f32 anyway
+        # — only reachable through corrupt streams, hence the clip);
+        # btype (0..4) in bits 12-14, ms_used in bit 15.
+        meta[i, :n] = (
+            (np.clip(u.lvl[:n], -2048, 2047).astype(np.int32) + 2048)
+            | (u.btype[:n].astype(np.int32) << 12)
+            | (u.msf[:n].astype(np.int32) << 15)
+        ).astype(np.uint16)
+        wseq[i, :n] = u.info[:n, af.WINDOW_SEQ].astype(np.uint8)
+        wshape[i, :n] = u.info[:n, af.WINDOW_SHAPE].astype(np.uint8)
         valid[i] = (n // n_channels) * 1024
         if len(u.esc_idx):
             row = u.esc_idx >> 10
             keep = row < n
             # Escape positions always lie inside a coded band, and ext
             # covers every coded band in the batch, so pos < ext.
-            esc_rows.append(row[keep] + i * f_max)
-            esc_poss.append((u.esc_idx & 1023)[keep])
+            esc_rows.append((row[keep] + i * f_max).astype(np.int32))
+            esc_poss.append((u.esc_idx & 1023)[keep].astype(np.int16))
             esc_vals.append(u.esc_val[keep])
         for j, row in enumerate(u.fbrows):
             if row >= n:
@@ -238,18 +261,18 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
             fbmap[i * f_max + int(row)] = bpad * f_max + len(fb_rows)
             fb_rows.append(u.fb16[j])
             fb_exps.append(u.fbexp[j])
-    spec_q[bsz:] = 0
+    spec_q4[bsz:] = 0
 
     n_esc = sum(len(e) for e in esc_rows)
     ecap = next((e for e in _ESC_LADDER if e >= max(n_esc, 1)),
                 max(n_esc, 1))
     esc_row = np.zeros(ecap, np.int32)
-    esc_pos = np.zeros(ecap, np.int32)
-    esc_val = np.zeros(ecap, np.float32)  # padding adds 0.0 at (0, 0)
+    esc_pos = np.zeros(ecap, np.int16)
+    esc_val = np.zeros(ecap, np.int16)  # padding adds 0 at (0, 0)
     if n_esc:
         esc_row[:n_esc] = np.concatenate(esc_rows)
         esc_pos[:n_esc] = np.concatenate(esc_poss)
-        esc_val[:n_esc] = np.concatenate(esc_vals).astype(np.float32)
+        esc_val[:n_esc] = np.concatenate(esc_vals)
 
     fbp = next((f for f in _FB_LADDER if f >= max(len(fb_rows), 1)),
                max(len(fb_rows), 1))
@@ -258,7 +281,7 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
     if fb_rows:
         fb16[: len(fb_rows)] = np.stack(fb_rows)
         fbexp[: len(fb_rows)] = np.array(fb_exps, np.int8)
-    return (spec_q, lvl, bmeta, esc_row, esc_pos, esc_val,
+    return (spec_q4, meta, esc_row, esc_pos, esc_val,
             fb16.view(np.float16), fbexp, fbmap, wseq, wshape, valid)
 
 
@@ -278,7 +301,7 @@ def analyze_batch_q(unpacked: list, sample_rate: int, n_channels: int,
     fn = _batch_fn_q(n_channels, sample_rate, dtype)
     dev_args = jax.device_put(args)
     jax.block_until_ready(dev_args)
-    bufpool.give(*args[:3], args[8], args[9], args[10])
+    bufpool.give(*args[:2], args[7], args[8], args[9])
     t2 = _time.monotonic()
     hist, loud_idx, peak = fn(*dev_args)
     stats = np.asarray(

@@ -356,11 +356,16 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
                     continue
                 nch = u.n_channels or 1
                 key = (u.sample_rate, nch)
-                members = buckets.setdefault(key, [])
-                members.append((p, u))
+                buckets.setdefault(key, []).append((p, u))
+            # Flush full batches at wave end, length-sorted: grouping
+            # similar-length tracks shrinks each batch's padded f_max
+            # (every buffer in the h2d payload scales with it).
+            for key, members in buckets.items():
                 if len(members) >= batch_cap:
-                    flush_bucket(key, members)
-                    buckets[key] = []
+                    members.sort(key=lambda pu: pu[1].n)
+                    while len(members) >= batch_cap:
+                        flush_bucket(key, members[:batch_cap])
+                        del members[:batch_cap]
 
         for key, members in buckets.items():
             if members:
