@@ -968,12 +968,18 @@ def analyze_library(
                     outcomes[i] = TrackOutcome(path=str(path), ok=False, error=err)
                     continue
                 sr, nch = u.sample_rate, u.n_channels
-                members = buckets.setdefault((sr, nch), [])
-                members.append((i, u))
+                buckets.setdefault((sr, nch), []).append((i, u))
                 audio_seconds += (u.n // nch) * 576 / sr
+            # Flush full batches at wave end, length-sorted: batching
+            # similar-length tracks shrinks each batch's padded g_max,
+            # which every manifest buffer (and its h2d bytes) scales
+            # with (AAC scan does the same).
+            for key, members in buckets.items():
                 if len(members) >= runner.max_batch:
-                    flush_bucket((sr, nch), members)
-                    buckets[(sr, nch)] = []
+                    members.sort(key=lambda iu: iu[1].n)
+                    while len(members) >= runner.max_batch:
+                        flush_bucket(key, members[: runner.max_batch])
+                        del members[: runner.max_batch]
 
         for key, members in buckets.items():
             if members:
