@@ -166,8 +166,10 @@ def main() -> None:
             # Perturb downstream of nothing: info feeds the tail, but the
             # whole pipeline is one executable, so every layer (incl. the
             # Pallas entropy stage) re-executes for each distinct input.
-            info = info.at[..., fe.GLOBAL_GAIN].add(
-                (bump % 3).astype(info.dtype)
+            # info is the packed 2×uint16 form; xor the global-gain low
+            # bits of word 0 (fe.pack_info_light layout).
+            info = info.at[..., 0].set(
+                info[..., 0] ^ (bump % 3).astype(info.dtype)
             )
             return core(scalars, buf, metab, inv, rowmap, scf, info, valid)
 

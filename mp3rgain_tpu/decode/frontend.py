@@ -42,6 +42,58 @@ SCF_SLOTS = 64
 SCF_LONG = 0  # slots 0..22
 SCF_SHORT = 23  # slots 23..61, sfb-major (sfb * 3 + window)
 
+# ---------------------------------------------------------------------------
+# Packed transfer form of the device-read info fields (light path).
+#
+# The analysis tail reads only ~30 bits of the 24-column info tensor per
+# granule-channel; under the host→device bandwidth bottleneck the batch
+# arrays ship those bits packed into TWO uint16 words (28 MB → 2.4 MB on
+# a 64×60 s batch). Layout (keep pack_info_light and the device-side
+# unpack in parallel.runner in sync):
+#   word 0: global_gain[0:8] | block_type[8:10] | mixed[10] |
+#           scalefac_scale[11] | preflag[12] | intensity_scale[13] |
+#           joint (channel_mode==1)[14] | lsf (version!=1)[15]
+#   word 1: sbg0[0:3] | sbg1[3:6] | sbg2[6:9] | mode_ext[9:11] |
+#           sr_row[11:15]
+# BIG_END/COUNT1_END are zero in the light manifest (set on device from
+# the entropy kernel's outputs); FRAME/GRANULE/CHANNEL/SAMPLE_RATE/
+# NCHANNELS/VALID are host-only fields and do not travel.
+# ---------------------------------------------------------------------------
+IP_N = 2
+
+
+def pack_info_light(info: np.ndarray) -> np.ndarray:
+    """Pack (n, INFO_N) int32 info rows into (n, IP_N) uint16 words."""
+    gg = info[:, GLOBAL_GAIN] & 255
+    w0 = (
+        gg
+        | ((info[:, BLOCK_TYPE] & 3) << 8)
+        | ((info[:, MIXED] & 1) << 10)
+        | ((info[:, SCALEFAC_SCALE] & 1) << 11)
+        | ((info[:, PREFLAG] & 1) << 12)
+        | ((info[:, INTENSITY_SCALE] & 1) << 13)
+        | ((info[:, CHANNEL_MODE] == 1).astype(np.int32) << 14)
+        | ((info[:, VERSION] != 1).astype(np.int32) << 15)
+    )
+    w1 = (
+        (info[:, SBG0] & 7)
+        | ((info[:, SBG1] & 7) << 3)
+        | ((info[:, SBG2] & 7) << 6)
+        | ((info[:, MODE_EXT] & 3) << 9)
+        | ((info[:, SR_ROW] & 15) << 11)
+    )
+    return np.stack([w0, w1], axis=1).astype(np.uint16)
+
+
+def pack_scf_nibble(scf: np.ndarray) -> np.ndarray:
+    """Pack (n, 64) scalefactor slots two-per-byte into (n, 32) uint8.
+
+    Valid for MPEG-1 streams only (sample rate >= 32 kHz): slen is at
+    most 4 bits there, so every slot value fits a nibble. LSF streams
+    (slen up to 5 bits in intensity mode) keep the unpacked int8 form.
+    """
+    return ((scf[:, 0::2] << 4) | (scf[:, 1::2] & 15)).astype(np.uint8)
+
 _lib.mg_mp3_unpack.restype = ctypes.c_int64
 _lib.mg_mp3_unpack.argtypes = [
     _u8p,

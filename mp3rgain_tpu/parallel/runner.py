@@ -101,6 +101,42 @@ def _unpack_spectrum(spec_i8, esc_idx, esc_val):
     return spec
 
 
+def _expand_info_light(packed):
+    """Device-side expansion of the packed 2×uint16 light-manifest info
+    words (fe.pack_info_light) back into the fat (…, INFO_N) int32
+    tensor the shared tail reads. Bit layout documented at
+    decode/frontend.py::pack_info_light."""
+    w0 = packed[..., 0].astype(jnp.int32)
+    w1 = packed[..., 1].astype(jnp.int32)
+    zero = jnp.zeros_like(w0)
+    cols = [zero] * fe.INFO_N
+    cols[fe.GLOBAL_GAIN] = w0 & 255
+    cols[fe.BLOCK_TYPE] = (w0 >> 8) & 3
+    cols[fe.MIXED] = (w0 >> 10) & 1
+    cols[fe.SCALEFAC_SCALE] = (w0 >> 11) & 1
+    cols[fe.PREFLAG] = (w0 >> 12) & 1
+    cols[fe.INTENSITY_SCALE] = (w0 >> 13) & 1
+    cols[fe.CHANNEL_MODE] = (w0 >> 14) & 1  # joint flag; 1 == joint
+    cols[fe.VERSION] = 1 + ((w0 >> 15) & 1)  # lsf bit -> version 2, else 1
+    cols[fe.SBG0] = w1 & 7
+    cols[fe.SBG1] = (w1 >> 3) & 7
+    cols[fe.SBG2] = (w1 >> 6) & 7
+    cols[fe.MODE_EXT] = (w1 >> 9) & 3
+    cols[fe.SR_ROW] = (w1 >> 11) & 15
+    return jnp.stack(cols, axis=-1)
+
+
+def _unpack_scf(scf):
+    """Device-side unpack of nibble-packed scalefactors (fe.
+    pack_scf_nibble): (…, 32) uint8 → (…, 64) int32. Unpacked int8
+    arrays (LSF batches, the heavy path) pass through unchanged."""
+    if scf.shape[-1] == fe.SCF_SLOTS:
+        return scf
+    s = scf.astype(jnp.int32)
+    pair = jnp.stack([(s >> 4) & 15, s & 15], axis=-1)
+    return pair.reshape(scf.shape[:-1] + (fe.SCF_SLOTS,))
+
+
 def _analysis_tail(spectrum, scf, info, valid_samples,
                    *, n_channels: int, sample_rate: int, dtype):
     """Shared device pipeline tail: full (B, G, 576) spectra → results."""
@@ -174,11 +210,11 @@ def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
         )
 
     spectrum = spec[rowmap]  # (B, G, 576) row gather
-    info = info.astype(jnp.int32)
+    info = _expand_info_light(info)
     info = info.at[..., fe.BIG_END].set(big_end[rowmap])
     info = info.at[..., fe.COUNT1_END].set(c1end[rowmap])
     return _analysis_tail(
-        spectrum, scf, info, valid_samples,
+        spectrum, _unpack_scf(scf), info, valid_samples,
         n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
     )
 
@@ -207,30 +243,34 @@ def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
     ce_cm = c1end[rowmap_cm]
     rzero_cm = jnp.maximum(be_cm, ce_cm)  # (C, B, T)
 
-    info = info.astype(jnp.int32)
-    info_cm = info.reshape(bsz, t, nch, fe.INFO_N).transpose(2, 0, 1, 3)
-    scf_cm = scf.reshape(bsz, t, nch, fe.SCF_SLOTS).transpose(2, 0, 1, 3)
+    # Packed-info transfer form (fe.pack_info_light): two uint16 words
+    # per granule-channel instead of the 24-column int32 tensor.
+    wp = info.astype(jnp.int32).reshape(bsz, t, nch, fe.IP_N)
+    wp = wp.transpose(2, 0, 1, 3)
+    w0 = wp[..., 0]
+    w1 = wp[..., 1]
+    scf_cm = _unpack_scf(scf.reshape(bsz, t, nch, -1).transpose(2, 0, 1, 3))
 
-    bt = info_cm[..., fe.BLOCK_TYPE]
-    mixed = info_cm[..., fe.MIXED]
+    bt = (w0 >> 8) & 3
+    mixed = (w0 >> 10) & 1
     cls = jnp.where(bt == 2, jnp.where(mixed == 1, 2, 1), 0)
-    joint = (info_cm[..., fe.CHANNEL_MODE] == 1).astype(jnp.int32)
-    ms = joint * ((info_cm[..., fe.MODE_EXT] & 2) >> 1)
-    isf = joint * (info_cm[..., fe.MODE_EXT] & 1)
+    joint = (w0 >> 14) & 1
+    ms = joint * ((w1 >> 10) & 1)
+    isf = joint * ((w1 >> 9) & 1)
     rz_other = rzero_cm[::-1] if nch == 2 else rzero_cm
     fields = [None] * hk.GM_N
-    fields[hk.GM_GG] = info_cm[..., fe.GLOBAL_GAIN]
-    fields[hk.GM_SFS] = info_cm[..., fe.SCALEFAC_SCALE]
-    fields[hk.GM_PRE] = info_cm[..., fe.PREFLAG]
-    fields[hk.GM_SBG0] = info_cm[..., fe.SBG0]
-    fields[hk.GM_SBG1] = info_cm[..., fe.SBG1]
-    fields[hk.GM_SBG2] = info_cm[..., fe.SBG2]
+    fields[hk.GM_GG] = w0 & 255
+    fields[hk.GM_SFS] = (w0 >> 11) & 1
+    fields[hk.GM_PRE] = (w0 >> 12) & 1
+    fields[hk.GM_SBG0] = w1 & 7
+    fields[hk.GM_SBG1] = (w1 >> 3) & 7
+    fields[hk.GM_SBG2] = (w1 >> 6) & 7
     fields[hk.GM_BT] = bt
     fields[hk.GM_CLS] = cls
     fields[hk.GM_MS] = ms
     fields[hk.GM_IS] = isf
-    fields[hk.GM_LSF] = (info_cm[..., fe.VERSION] != 1).astype(jnp.int32)
-    fields[hk.GM_ISC] = info_cm[..., fe.INTENSITY_SCALE]
+    fields[hk.GM_LSF] = (w0 >> 15) & 1
+    fields[hk.GM_ISC] = (w0 >> 13) & 1
     fields[hk.GM_RZO] = rz_other
     zero = jnp.zeros_like(bt)
     gmeta_cm = jnp.stack(
@@ -427,13 +467,24 @@ def prepare_batch_arrays_light(
 
     rowmap = bufpool.take((bpad, g_max), np.int32)
     rowmap.fill(prep.npad)
-    info = bufpool.take_zeroed((bpad, g_max, fe.INFO_N), np.uint16)
-    scf = bufpool.take_zeroed((bpad, g_max, fe.SCF_SLOTS), np.int8)
+    # Device-read info fields travel packed: 2 uint16 words per gch
+    # (fe.pack_info_light; expanded on device by _expand_info_light).
+    info = bufpool.take_zeroed((bpad, g_max, fe.IP_N), np.uint16)
+    # MPEG-1 scalefactors fit 4 bits each and ship two-per-byte; LSF
+    # streams (slen up to 5 bits) keep the unpacked int8 form. The
+    # sample rate decides the MPEG version, and batches are bucketed by
+    # sample rate, so the transfer form is uniform within a batch (and
+    # the tail executable is keyed by sample_rate + shapes already).
+    nibble = unpacked and unpacked[0].sample_rate >= 32000
+    scf_slots = fe.SCF_SLOTS // 2 if nibble else fe.SCF_SLOTS
+    scf = bufpool.take_zeroed(
+        (bpad, g_max, scf_slots), np.uint8 if nibble else np.int8
+    )
     off = 0
     for i, u in enumerate(unpacked):
         rowmap[i, : u.n] = np.arange(off, off + u.n, dtype=np.int32)
-        info[i, : u.n] = u.info  # all info fields fit uint16 (max 48000)
-        scf[i, : u.n] = u.scf
+        info[i, : u.n] = fe.pack_info_light(u.info)
+        scf[i, : u.n] = fe.pack_scf_nibble(u.scf) if nibble else u.scf
         off += u.n
     valid_samples = np.array(
         [u.n // n_channels * 576 for u in unpacked] + [0] * (bpad - bsz),

@@ -103,3 +103,50 @@ def test_single_track_device_entropy(tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(host.histogram), np.asarray(dev.histogram)
     )
+
+
+def test_packed_info_roundtrip():
+    """fe.pack_info_light ↔ runner._expand_info_light preserve every
+    device-read field at their extreme values (layout documented at
+    decode/frontend.py)."""
+    rng = np.random.default_rng(0)
+    n = 257
+    info = np.zeros((n, fe.INFO_N), dtype=np.int32)
+    info[:, fe.GLOBAL_GAIN] = rng.integers(0, 256, n)
+    info[:, fe.BLOCK_TYPE] = rng.integers(0, 4, n)
+    info[:, fe.MIXED] = rng.integers(0, 2, n)
+    info[:, fe.SCALEFAC_SCALE] = rng.integers(0, 2, n)
+    info[:, fe.PREFLAG] = rng.integers(0, 2, n)
+    info[:, fe.INTENSITY_SCALE] = rng.integers(0, 2, n)
+    info[:, fe.CHANNEL_MODE] = rng.integers(0, 4, n)
+    info[:, fe.VERSION] = rng.choice([1, 2, 3], n)
+    info[:, fe.SBG0] = rng.integers(0, 8, n)
+    info[:, fe.SBG1] = rng.integers(0, 8, n)
+    info[:, fe.SBG2] = rng.integers(0, 8, n)
+    info[:, fe.MODE_EXT] = rng.integers(0, 4, n)
+    info[:, fe.SR_ROW] = rng.integers(0, 9, n)
+
+    packed = fe.pack_info_light(info)
+    assert packed.shape == (n, fe.IP_N) and packed.dtype == np.uint16
+    out = np.asarray(pr._expand_info_light(packed))
+
+    for field in (fe.GLOBAL_GAIN, fe.BLOCK_TYPE, fe.MIXED,
+                  fe.SCALEFAC_SCALE, fe.PREFLAG, fe.INTENSITY_SCALE,
+                  fe.SBG0, fe.SBG1, fe.SBG2, fe.MODE_EXT, fe.SR_ROW):
+        np.testing.assert_array_equal(out[:, field], info[:, field], field)
+    # Derived flags, not raw values: joint and lsf.
+    np.testing.assert_array_equal(
+        out[:, fe.CHANNEL_MODE] == 1, info[:, fe.CHANNEL_MODE] == 1
+    )
+    np.testing.assert_array_equal(
+        out[:, fe.VERSION] != 1, info[:, fe.VERSION] != 1
+    )
+
+
+def test_packed_scf_roundtrip():
+    rng = np.random.default_rng(1)
+    scf = rng.integers(0, 16, (33, fe.SCF_SLOTS)).astype(np.int32)
+    packed = fe.pack_scf_nibble(scf)
+    assert packed.shape == (33, fe.SCF_SLOTS // 2)
+    out = np.asarray(pr._unpack_scf(packed))
+    np.testing.assert_array_equal(out, scf)

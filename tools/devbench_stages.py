@@ -87,13 +87,14 @@ def main():
             big_end = jnp.concatenate([big_end, zs])
             c1end = jnp.concatenate([c1end, zs])
             spectrum = spec[rowmap]
-            info = info.astype(jnp.int32)
+            info = rn._expand_info_light(info)
             info = info.at[..., fe.BIG_END].set(big_end[rowmap])
             info = info.at[..., fe.COUNT1_END].set(c1end[rowmap])
             if stop == "gather":
                 s = jnp.sum(spectrum, dtype=jnp.int32)
                 return None, None, jnp.stack([s, s, s])[None, :]
-            fields = rn._derive_fields(spectrum, scf, info, n_channels=nch)
+            fields = rn._derive_fields(spectrum, rn._unpack_scf(scf), info,
+                                       n_channels=nch)
             from mp3rgain_tpu.decode.format_tables import SR_ROW
             from mp3rgain_tpu.decode import synthesis
 
@@ -133,11 +134,12 @@ def main():
                    n_channels=nch, sample_rate=sr, dtype=jnp.float32)
 
     def full_fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
-        info = info.at[..., fe.GLOBAL_GAIN].add((bump % 3).astype(info.dtype))
+        # info is packed (fe.pack_info_light): xor global-gain low bits.
+        info = info.at[..., 0].set(info[..., 0] ^ (bump % 3).astype(info.dtype))
         return full(scalars, buf, metab, inv, rowmap, scf, info, valid)
 
     def fused_fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
-        info = info.at[..., fe.GLOBAL_GAIN].add((bump % 3).astype(info.dtype))
+        info = info.at[..., 0].set(info[..., 0] ^ (bump % 3).astype(info.dtype))
         spec_b, mout = ek.decode_blocks(scalars, buf, metab, nb=nb)
         return rn._light_tail(
             spec_b, mout, inv, rowmap, scf, info, valid,

@@ -96,11 +96,15 @@ def warm_mp3(sr: int, nch: int, max_minutes: float, batch: int) -> int:
         )
         inv = np.arange(nb * ek.LANES, dtype=np.int32)
         rowmap = np.full((batch, g_max), nb * ek.LANES, np.int32)
-        scf = np.zeros((batch, g_max, 64), np.int8)
         from mp3rgain_tpu.decode import frontend as fe
 
-        info = np.zeros((batch, g_max, fe.INFO_N), np.uint16)
-        info[..., fe.VERSION] = 1
+        # Match the transfer forms prepare_batch_arrays_light ships:
+        # packed 2×uint16 info; nibble-packed scf for MPEG-1 rates.
+        if sr >= 32000:
+            scf = np.zeros((batch, g_max, fe.SCF_SLOTS // 2), np.uint8)
+        else:
+            scf = np.zeros((batch, g_max, fe.SCF_SLOTS), np.int8)
+        info = np.zeros((batch, g_max, fe.IP_N), np.uint16)
         valid = np.zeros(batch, np.int32)
         tail = rn._light_tail_pipeline(
             nch, sr, nb, jnp.float32, rn.use_fused_hybrid(), interpret
