@@ -21,6 +21,7 @@ reference's formulation) is provided as a validation oracle.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -32,110 +33,167 @@ from .coeffs import DENORMAL_PREVENTION, filter_plan
 
 DEFAULT_BLOCK = 128
 
+# Group the five Yule biquads into ONE blocked AR(10) solve when the
+# direct-form operators are well-conditioned (all rates <= 48 kHz; see
+# _group_ok). Cuts the IIR stage from 6 sequential GEMM passes to 2.
+GROUP = os.environ.get("MP3RGAIN_IIR_GROUP", "1") != "0"
+
 
 @lru_cache(maxsize=None)
-def _ar2_kernels(a1: float, a2: float, block: int):
-    """(T_h lower-triangular (L,L), g1 (L,), g2 (L,), M (2,2)) in float64."""
+def _arP_kernels(a_tail: tuple, block: int):
+    """Order-P blocked recurrence operators for y_t = f_t - sum a_k y_{t-k}.
+
+    Returns (T_h (L, L) lower-triangular zero-state Toeplitz,
+    G (L, P) homogeneous responses to unit initial states y_{-1-j} = 1,
+    M (P, P) end-of-block state map, all float64). The block state is
+    s = [y_{L-1}, ..., y_{L-P}]; M[i, j] = G[L-1-i, j]."""
+    a = np.asarray(a_tail, dtype=np.float64)
+    P = len(a)
     L = block
-    h = np.zeros(L + 2)
+    h = np.zeros(L + P)
     h[0] = 1.0
-    for t in range(1, L + 2):
-        h[t] = -a1 * h[t - 1] - (a2 * h[t - 2] if t >= 2 else 0.0)
-    g1 = np.zeros(L)
-    g2 = np.zeros(L)
-    p1, p2 = 1.0, 0.0  # y_{-1}, y_{-2} = 1, 0
-    q1, q2 = 0.0, 1.0
-    for t in range(L):
-        g1[t] = -a1 * p1 - a2 * p2
-        g2[t] = -a1 * q1 - a2 * q2
-        p1, p2 = g1[t], p1
-        q1, q2 = g2[t], q1
+    for t in range(1, L + P):
+        acc = 0.0
+        for k in range(1, P + 1):
+            if t - k >= 0:
+                acc -= a[k - 1] * h[t - k]
+        h[t] = acc
+    g = np.zeros((L, P))
+    for j in range(P):
+        hist = np.zeros(P)
+        hist[j] = 1.0  # y_{-1-j} = 1
+        for t in range(L):
+            val = -np.dot(a, hist)
+            g[t, j] = val
+            hist = np.concatenate([[val], hist[:-1]])
     th = np.zeros((L, L))
     for t in range(L):
         th[t, : t + 1] = h[t::-1][: t + 1]
-    m = np.array([[g1[L - 1], g2[L - 1]], [g1[L - 2], g2[L - 2]]])
-    return th, g1, g2, m
+    m = g[L - 1 - np.arange(P), :]  # (P, P)
+    return th, g, m
+
+
+def _ar2_kernels(a1: float, a2: float, block: int):
+    """Back-compat P=2 view: (T_h, g1, g2, M)."""
+    th, g, m = _arP_kernels((a1, a2), block)
+    return th, g[:, 0], g[:, 1], m
 
 
 @lru_cache(maxsize=None)
-def _prefix_kernels(a1: float, a2: float, block: int, n_blocks: int, l2: int):
+def _prefix_kernels(a_tail: tuple, block: int, n_blocks: int, l2: int):
     """Constants for the two-level affine-prefix solve of
-    s_n = M s_{n-1} + v_n over n_blocks first-level carries.
+    s_n = M s_{n-1} + v_n over n_blocks first-level carries, P-dim state.
 
-    Returns (T2 (l2*2, l2*2) local prefix operator, T3 (nb2*2, nb2*2)
-    strict-lower cross-superblock operator, P (l2, 2, 2) powers M^(t+1)),
+    Returns (T2 (l2*P, l2*P) local prefix operator, T3 (nb2*P, nb2*P)
+    strict-lower cross-superblock operator, Pw (l2, P, P) powers M^(t+1)),
     where nb2 = ceil(n_blocks / l2)."""
-    _, _, _, m = _ar2_kernels(a1, a2, block)
+    _, _, m = _arP_kernels(a_tail, block)
+    P = m.shape[0]
     nb2 = -(-n_blocks // l2)
 
-    powers = [np.eye(2)]
+    powers = [np.eye(P)]
     for _ in range(max(l2, nb2) + 1):
         powers.append(m @ powers[-1])
 
-    t2 = np.zeros((l2, l2, 2, 2))
+    t2 = np.zeros((l2, l2, P, P))
     for t in range(l2):
         for s in range(t + 1):
             t2[t, s] = powers[t - s]
     ml2 = powers[l2]
-    ml2_pow = [np.eye(2)]
+    ml2_pow = [np.eye(P)]
     for _ in range(nb2):
         ml2_pow.append(ml2 @ ml2_pow[-1])
-    t3 = np.zeros((nb2, nb2, 2, 2))
+    t3 = np.zeros((nb2, nb2, P, P))
     for t in range(nb2):
         for s in range(t):
             t3[t, s] = ml2_pow[t - 1 - s]
     p = np.stack(powers[1 : l2 + 1])
     # einsum-free layout: out[(t,i)] = sum_{(s,j)} T[(t,i),(s,j)] v[(s,j)]
-    t2m = t2.transpose(0, 2, 1, 3).reshape(l2 * 2, l2 * 2)
-    t3m = t3.transpose(0, 2, 1, 3).reshape(nb2 * 2, nb2 * 2)
+    t2m = t2.transpose(0, 2, 1, 3).reshape(l2 * P, l2 * P)
+    t3m = t3.transpose(0, 2, 1, 3).reshape(nb2 * P, nb2 * P)
     return t2m, t3m, p
 
 
-def _affine_prefix(v, a1: float, a2: float, block: int, l2: int = 128):
-    """s_n = M s_{n-1} + v_n (s_{-1} = 0) for v (B, N, 2), fully parallel:
+def _affine_prefix(v, a_tail: tuple, block: int, l2: int = 128):
+    """s_n = M s_{n-1} + v_n (s_{-1} = 0) for v (B, N, P), fully parallel:
     two levels of lower-triangular Toeplitz matmuls instead of an
     associative scan (whose tree lowering serializes into ~2*log2(N)
     tiny kernels on TPU)."""
-    b, n, _ = v.shape
+    b, n, P = v.shape
     nb2 = -(-n // l2)
-    t2m, t3m, p = _prefix_kernels(a1, a2, block, n, l2)
+    t2m, t3m, p = _prefix_kernels(a_tail, block, n, l2)
     dtype = v.dtype
     t2m = jnp.asarray(t2m, dtype)
     t3m = jnp.asarray(t3m, dtype)
     p = jnp.asarray(p, dtype)
 
     vp = jnp.pad(v, ((0, 0), (0, nb2 * l2 - n), (0, 0)))
-    vb = vp.reshape(b, nb2, l2 * 2)
+    vb = vp.reshape(b, nb2, l2 * P)
     local = jnp.einsum(
         "ts,bns->bnt", t2m, vb, preferred_element_type=dtype
-    ).reshape(b, nb2, l2, 2)
-    carries = local[:, :, -1, :]  # (B, nb2, 2)
+    ).reshape(b, nb2, l2, P)
+    carries = local[:, :, -1, :]  # (B, nb2, P)
     s_prev = jnp.einsum(
-        "ts,bs->bt", t3m, carries.reshape(b, nb2 * 2),
+        "ts,bs->bt", t3m, carries.reshape(b, nb2 * P),
         preferred_element_type=dtype,
-    ).reshape(b, nb2, 2)
+    ).reshape(b, nb2, P)
     cross = jnp.einsum("bmj,tij->bmti", s_prev, p, preferred_element_type=dtype)
-    s = (local + cross).reshape(b, nb2 * l2, 2)
+    s = (local + cross).reshape(b, nb2 * l2, P)
     return s[:, :n]
 
 
 @lru_cache(maxsize=None)
-def _biquad_kernels(b0: float, b1: float, b2: float, a1: float, a2: float,
-                    block: int):
-    """Composite blocked-biquad operator Tc (L, L+2) = T_h @ Band.
+def _group_kernels(b_taps: tuple, a_tail: tuple, block: int):
+    """Composite blocked-IIR operator Tc (L, L+K-1) = T_h @ Band for a
+    direct-form filter with K numerator taps and order-P denominator.
 
-    Band maps the extended input block [x[-2], x[-1], x[0..L-1]] to the
-    FIR output f[t] = b0 x[t] + b1 x[t-1] + b2 x[t-2]; T_h is the AR(2)
+    Band maps the extended input block [x[-(K-1)], ..., x[-1], x[0..L-1]]
+    to the FIR output f[t] = sum_k b[k] x[t-k]; T_h is the AR(P)
     zero-state Toeplitz. Folding the FIR here avoids per-sample lane-shift
     slices, which dominate TPU time by ~40x."""
     L = block
-    th, g1, g2, m = _ar2_kernels(a1, a2, block)
-    band = np.zeros((L, L + 2))
+    K = len(b_taps)
+    th, g, m = _arP_kernels(a_tail, block)
+    band = np.zeros((L, L + K - 1))
     for t in range(L):
-        band[t, t + 2] = b0
-        band[t, t + 1] = b1
-        band[t, t] = b2
-    return th @ band, g1, g2, m
+        for k, bk in enumerate(b_taps):
+            band[t, t + K - 1 - k] = bk
+    return th @ band, g, m
+
+
+def _group_apply(x, b_taps: tuple, a_tail: tuple, block: int):
+    """Apply a full direct-form IIR (K-tap FIR + AR(P)) along the last
+    axis of (B, T), blockwise and exactly: one (L, L+K-1) matmul per
+    block plus the two-level affine carry prefix. No per-sample shifts."""
+    b_taps = tuple(float(c) for c in b_taps)
+    a_tail = tuple(float(c) for c in a_tail)
+    K = len(b_taps)
+    P = len(a_tail)
+    b, t = x.shape
+    L = block
+    nblk = -(-t // L)
+    xp = jnp.pad(x, ((0, 0), (0, nblk * L - t)))
+    xb = xp.reshape(b, nblk, L)
+
+    tc, g, m = _group_kernels(b_taps, a_tail, L)
+    dtype = x.dtype
+    tc = jnp.asarray(tc, dtype)
+    g = jnp.asarray(g, dtype)
+
+    # Extended input block: previous block's last K-1 samples + this block.
+    prev = jnp.pad(xb[:, :-1, L - (K - 1):], ((0, 0), (1, 0), (0, 0)))
+    xin = jnp.concatenate([prev, xb], axis=-1)  # (B, NB, L+K-1)
+
+    y_zs = jnp.einsum("ts,bns->bnt", tc, xin, preferred_element_type=dtype)
+
+    # Block carry state s = [y_{L-1}, ..., y_{L-P}].
+    v = jnp.stack([y_zs[:, :, L - 1 - i] for i in range(P)], axis=-1)
+    s = _affine_prefix(v, a_tail, L)
+    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
+
+    y = y_zs + jnp.einsum("bnj,tj->bnt", s_prev, g,
+                          preferred_element_type=dtype)
+    return y.reshape(b, nblk * L)[:, :t]
 
 
 def _biquad_apply(x, section, block: int):
@@ -143,61 +201,27 @@ def _biquad_apply(x, section, block: int):
     blockwise and exactly: one (L, L+2) matmul per block plus the
     two-level affine carry prefix. No per-sample shifts anywhere."""
     b0, b1, b2, a1, a2 = (float(c) for c in section)
-    b, t = x.shape
-    L = block
-    nblk = -(-t // L)
-    xp = jnp.pad(x, ((0, 0), (0, nblk * L - t)))
-    xb = xp.reshape(b, nblk, L)
-
-    tc, g1, g2, m = _biquad_kernels(b0, b1, b2, a1, a2, L)
-    dtype = x.dtype
-    tc = jnp.asarray(tc, dtype)
-    g1 = jnp.asarray(g1, dtype)
-    g2 = jnp.asarray(g2, dtype)
-
-    # Extended input block: previous block's last 2 samples + this block.
-    prev2 = jnp.pad(xb[:, :-1, L - 2 :], ((0, 0), (1, 0), (0, 0)))
-    xin = jnp.concatenate([prev2, xb], axis=-1)  # (B, NB, L+2)
-
-    y_zs = jnp.einsum("ts,bns->bnt", tc, xin, preferred_element_type=dtype)
-
-    v = jnp.stack([y_zs[:, :, L - 1], y_zs[:, :, L - 2]], axis=-1)
-    s = _affine_prefix(v, a1, a2, L)
-    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
-
-    y = y_zs + s_prev[..., 0:1] * g1 + s_prev[..., 1:2] * g2
-    return y.reshape(b, nblk * L)[:, :t]
+    return _group_apply(x, (b0, b1, b2), (a1, a2), block)
 
 
 def _ar2_apply(f, a1: float, a2: float, block: int):
     """Apply y_t = f_t - a1 y_{t-1} - a2 y_{t-2} along the last axis of
     (B, T) exactly, blockwise."""
-    b, t = f.shape
-    L = block
-    nblk = -(-t // L)
-    pad = nblk * L - t
-    fp = jnp.pad(f, ((0, 0), (0, pad)))
-    fb = fp.reshape(b, nblk, L)
+    return _group_apply(f, (1.0,), (float(a1), float(a2)), block)
 
-    th, g1, g2, m = _ar2_kernels(a1, a2, L)
-    dtype = f.dtype
-    th = jnp.asarray(th, dtype)
-    g1 = jnp.asarray(g1, dtype)
-    g2 = jnp.asarray(g2, dtype)
-    m = jnp.asarray(m, dtype)
 
-    # Zero-state response per block: lower-triangular Toeplitz matmul.
-    y_zs = jnp.einsum("ts,bns->bnt", th, fb, preferred_element_type=dtype)
+@lru_cache(maxsize=None)
+def _group_ok(sample_rate: int, block: int) -> bool:
+    """True when the direct-form 10th-order Yule blocked operators are
+    well-conditioned enough for the grouped solve (empirically: all
+    rates <= 48 kHz; 64k/96k grow homogeneous responses to 1.4e3/2.1e4
+    and keep the biquad cascade; 88.2k is degenerate everywhere)."""
+    from .coeffs import YULE_A
 
-    # Block carry: s_n = M s_{n-1} + v_n, solved with a fully parallel
-    # two-level Toeplitz prefix (no scan).
-    v = jnp.stack([y_zs[:, :, L - 1], y_zs[:, :, L - 2]], axis=-1)  # (B,N,2)
-    s = _affine_prefix(v, a1, a2, L)
-    # State entering block n is s_{n-1}; block 0 starts from rest.
-    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
-
-    y = y_zs + s_prev[..., 0:1] * g1 + s_prev[..., 1:2] * g2
-    return y.reshape(b, nblk * L)[:, :t]
+    a_tail = tuple(float(c) for c in YULE_A[sample_rate][1:])
+    th, g, m = _arP_kernels(a_tail, block)
+    bound = max(np.max(np.abs(th)), np.max(np.abs(g)))
+    return bool(np.isfinite(bound) and bound <= 128.0)
 
 
 def _fir(x, taps):
@@ -229,11 +253,25 @@ def _equal_loudness_jit(x, sample_rate: int, block: int):
 
 
 def _equal_loudness_body(y, plan, dtype, block):
+    if GROUP and _group_ok(plan.sample_rate, block):
+        # Grouped path: the whole 10th-order Yule stage as ONE blocked
+        # direct-form solve (matches the reference's own formulation,
+        # src/replaygain.rs:586-599) instead of 5 sequential biquad
+        # GEMM passes — ~2.5x fewer IIR FLOPs on the MXU.
+        from .coeffs import YULE_A
+
+        a_tail = tuple(float(c) for c in YULE_A[plan.sample_rate][1:])
+        y = _group_apply(y, tuple(plan.yule_b), a_tail, block)
+        # Denormal-prevention constant of the reference (injected at
+        # the yule output, src/replaygain.rs:595): preserves the
+        # silence-drop histogram behavior.
+        y = y + dtype.type(DENORMAL_PREVENTION)
+        b = plan.butter_b
+        a1, a2 = plan.butter_section
+        y = _group_apply(y, (b[0], b[1], b[2]), (a1, a2), block)
+        return y + dtype.type(DENORMAL_PREVENTION)
     for i, section in enumerate(plan.sos):
         if i == len(plan.sos) - 1:
-            # Denormal-prevention constant of the reference (injected at
-            # the yule output, src/replaygain.rs:595): preserves the
-            # silence-drop histogram behavior.
             y = y + dtype.type(DENORMAL_PREVENTION)
         y = _biquad_apply(y, tuple(section), block)
     return y + dtype.type(DENORMAL_PREVENTION)
