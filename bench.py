@@ -131,7 +131,7 @@ def main() -> None:
             prep, rest = prepare_batch_arrays_light(
                 [u_light] * BATCH_TRACKS, nch, 1
             )
-            bufpool.give(prep.buf, prep.meta, *rest[:3])
+            bufpool.give(prep.buf, prep.meta, rest[1], rest[4])
             del prep, rest
         t0 = time.monotonic()
         prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
@@ -161,8 +161,8 @@ def main() -> None:
             n_channels=nch, sample_rate=sr, dtype=jnp.float32,
         )
 
-        def perturbed(bump, scalars, buf, metab, inv, rowmap, scf, info,
-                      valid):
+        def perturbed(bump, scalars, buf, metab, inv, counts, scf, srow,
+                      sdata, info, valid):
             # Perturb downstream of nothing: info feeds the tail, but the
             # whole pipeline is one executable, so every layer (incl. the
             # Pallas entropy stage) re-executes for each distinct input.
@@ -171,7 +171,8 @@ def main() -> None:
             info = info.at[..., 0].set(
                 info[..., 0] ^ (bump % 3).astype(info.dtype)
             )
-            return core(scalars, buf, metab, inv, rowmap, scf, info, valid)
+            return core(scalars, buf, metab, inv, counts, scf, srow,
+                        sdata, info, valid)
 
         fn = jax.jit(perturbed)
         label = "device pipeline (entropy+synthesis+DSP on-chip)"

@@ -885,9 +885,16 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
                                : 0;
             const size_t ncopy = avail < nbytes ? avail : nbytes;
             memcpy(rmd, reservoir.data() + start_byte, ncopy);
-            if (ncopy < static_cast<size_t>(md_stride)) {
-              memset(rmd + ncopy, 0, md_stride - ncopy);
+            // The packer (mg_entropy_pack3) reads at most
+            // ceil((p0 + p23 + 95)/32) words <= nbytes + 8 bytes of this
+            // row; zero just past the copied extent instead of the whole
+            // 528-byte stride (the tail memset was the bulk of the md
+            // write traffic on typical 1-2 KB windows).
+            size_t zend = nbytes + 8;
+            if (zend > static_cast<size_t>(md_stride)) {
+              zend = static_cast<size_t>(md_stride);
             }
+            if (zend > ncopy) memset(rmd + ncopy, 0, zend - ncopy);
             rmeta[LM_P0] = static_cast<int32_t>(p0);
             rmeta[LM_P23] = static_cast<int32_t>(p23);
 
@@ -926,7 +933,8 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
             }
             rmeta[LM_GCNT] = gi.count1table_select ? 17 : 16;
           } else if (ok) {
-            memset(rmd, 0, md_stride);
+            // Zero meta -> the packer reads at most 2 words of this row.
+            memset(rmd, 0, 16);
           }
           gr_bit += gi.part2_3_length;
           if (!h.lsf()) {
@@ -935,7 +943,7 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
         }
         if (!ok) {
           memset(rscf, 0, kScfSlots * sizeof(int32_t));
-          memset(rmd, 0, md_stride);
+          memset(rmd, 0, 16);
         }
 
         rinfo[GCH_FRAME] = static_cast<int32_t>(frame_idx);
@@ -974,59 +982,32 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
 }
 
 // Pack light-unpacked granule-channels into the entropy kernel's device
-// layout in one pass (the numpy gather + big-endian word pack + lane
-// transpose took ~20 s per 64x60s batch on a 1-core host; this runs it
-// at memcpy speed). Layouts match decode/entropy_kernel.py:
-//   buf:   (nb, w8, 8, lanes) int32 big-endian words of the Huffman
-//          window, rows ordered by `order` (sorted by estimated steps);
-//   metab: (nb, meta_rows_out, lanes) int32, LIGHT_META_N live rows.
+// layout in one pass. Block b's words live at flat word-group offset
+// blk_off[b] (units of one (8, lanes) int32 group) in a packed
+// (g_pad, 8, lanes) big-endian word buffer, with blk_w8[b] groups of
+// capacity — per-block instead of batch-max, so the device payload
+// tracks the true bitstream size instead of the heaviest granule in the
+// batch. Three transfer-size/time refinements over the earlier packers:
+//   - per-LANE word counts: only ceil((p0 + p23 + 95)/32) words of a
+//     lane's window are copied (the kernel's extract never reads further
+//     — max legal read is 28 bits past pend, inside the 64-bit slack);
+//     the remainder of the lane's column is zeroed, so capacity padding
+//     costs sequential stores, not strided copies;
+//   - k-outer transpose: for each word index k the whole (lanes,) row is
+//     written contiguously while source rows stay hot in L2 (the r-outer
+//     form paid one cache miss per word: writes stride lanes*4 bytes);
+//   - metadata ships bit-packed: 5 uint16 rows per lane (layout below,
+//     mirrored by entropy_kernel.Half) instead of 12+ full rows.
 // md_rows / meta_rows are per-ROW base pointers (uint64), so callers
 // never concatenate per-track arrays. order[r] >= n marks padding.
-void mg_entropy_pack(const uint64_t* md_rows, const uint64_t* meta_rows,
-                     int64_t n, int64_t meta_n, const int32_t* order,
-                     int64_t npad, int64_t w8, int64_t lanes,
-                     int64_t md_stride, int64_t meta_rows_out,
-                     int32_t* buf, int32_t* metab) {
-  const int64_t words = w8 * 8;
-  const int64_t nwords_src = md_stride / 4;
-  const int64_t block_stride = words * lanes;
-  const int64_t meta_stride = meta_rows_out * lanes;
-  for (int64_t r = 0; r < npad; ++r) {
-    const int64_t b = r / lanes;
-    const int64_t l = r % lanes;
-    const int64_t src = order[r];
-    int32_t* bb = buf + b * block_stride + l;
-    int32_t* mb = metab + b * meta_stride + l;
-    if (src < n) {
-      const uint8_t* p = reinterpret_cast<const uint8_t*>(md_rows[src]);
-      const int64_t nw = words < nwords_src ? words : nwords_src;
-      for (int64_t k = 0; k < nw; ++k) {
-        const uint32_t w = (static_cast<uint32_t>(p[4 * k]) << 24) |
-                           (static_cast<uint32_t>(p[4 * k + 1]) << 16) |
-                           (static_cast<uint32_t>(p[4 * k + 2]) << 8) |
-                           static_cast<uint32_t>(p[4 * k + 3]);
-        bb[k * lanes] = static_cast<int32_t>(w);
-      }
-      for (int64_t k = nw; k < words; ++k) bb[k * lanes] = 0;
-      const int32_t* m = reinterpret_cast<const int32_t*>(meta_rows[src]);
-      for (int64_t j = 0; j < meta_n; ++j) mb[j * lanes] = m[j];
-      for (int64_t j = meta_n; j < meta_rows_out; ++j) mb[j * lanes] = 0;
-    } else {
-      for (int64_t k = 0; k < words; ++k) bb[k * lanes] = 0;
-      for (int64_t j = 0; j < meta_rows_out; ++j) mb[j * lanes] = 0;
-    }
-  }
-}
-
-// Ragged variant of mg_entropy_pack: block b's words live at flat
-// word-group offset blk_off[b] (units of one (8, lanes) int32 group) in a
-// packed (g_pad, 8, lanes) buffer, with blk_w8[b] groups of capacity —
-// per-block instead of batch-max, so the device payload tracks the true
-// bitstream size instead of the heaviest granule in the batch (round-2
-// measured 226 MB shipped for 80 MB of main data). metab is uint16 (all
-// light-meta fields fit: part2_3_length <= 4095, window bit offsets <=
-// 4224); the device widens it once before the kernel.
-void mg_entropy_pack2(const uint64_t* md_rows, const uint64_t* meta_rows,
+//
+// Packed meta layout (entropy_kernel.py META_ROWS = 5 must match):
+//   w0: part3 bits p23[0:12] | lead bits p0[12:15] | count1 table[15]
+//   w1: big-value pairs bvp[0:9]  | region0 table group g0[9:13]
+//   w2: region pair bound r0p[0:9] | region1 table group g1[9:13]
+//   w3: region pair bound r1p[0:9] | region2 table group g2[9:13]
+//   w4: linbits l0[0:4] | l1[4:8] | l2[8:12]
+void mg_entropy_pack3(const uint64_t* md_rows, const uint64_t* meta_rows,
                       int64_t n, int64_t meta_n, const int32_t* order,
                       int64_t npad, int64_t lanes,
                       const int32_t* blk_off, const int32_t* blk_w8,
@@ -1034,31 +1015,53 @@ void mg_entropy_pack2(const uint64_t* md_rows, const uint64_t* meta_rows,
                       int32_t* buf, uint16_t* metab) {
   const int64_t nwords_src = md_stride / 4;
   const int64_t meta_stride = meta_rows_out * lanes;
-  for (int64_t r = 0; r < npad; ++r) {
-    const int64_t b = r / lanes;
-    const int64_t l = r % lanes;
-    const int64_t src = order[r];
+  const int64_t nb = npad / lanes;
+  std::vector<const uint32_t*> rowp(static_cast<size_t>(lanes));
+  std::vector<int32_t> rown(static_cast<size_t>(lanes));
+  for (int64_t b = 0; b < nb; ++b) {
     const int64_t words = blk_w8[b] * 8;
-    int32_t* bb = buf + blk_off[b] * 8 * lanes + l;
-    uint16_t* mb = metab + b * meta_stride + l;
-    if (src < n) {
-      const uint8_t* p = reinterpret_cast<const uint8_t*>(md_rows[src]);
-      const int64_t nw = words < nwords_src ? words : nwords_src;
-      for (int64_t k = 0; k < nw; ++k) {
-        const uint32_t w = (static_cast<uint32_t>(p[4 * k]) << 24) |
-                           (static_cast<uint32_t>(p[4 * k + 1]) << 16) |
-                           (static_cast<uint32_t>(p[4 * k + 2]) << 8) |
-                           static_cast<uint32_t>(p[4 * k + 3]);
-        bb[k * lanes] = static_cast<int32_t>(w);
+    int32_t* bb = buf + static_cast<int64_t>(blk_off[b]) * 8 * lanes;
+    uint16_t* mb = metab + b * meta_stride;
+    for (int64_t l = 0; l < lanes; ++l) {
+      const int64_t src = order[b * lanes + l];
+      if (src < n) {
+        rowp[l] = reinterpret_cast<const uint32_t*>(md_rows[src]);
+        const int32_t* m = reinterpret_cast<const int32_t*>(meta_rows[src]);
+        // Lane's true word extent: window bits + 64-bit overreach slack.
+        int64_t nw = (static_cast<int64_t>(m[LM_P0]) + m[LM_P23] + 95) >> 5;
+        if (nw > words) nw = words;
+        if (nw > nwords_src) nw = nwords_src;
+        rown[l] = static_cast<int32_t>(nw);
+        mb[0 * lanes + l] = static_cast<uint16_t>(
+            (m[LM_P23] & 0xFFF) | ((m[LM_P0] & 7) << 12) |
+            ((m[LM_GCNT] & 1) << 15));
+        mb[1 * lanes + l] = static_cast<uint16_t>(
+            (m[LM_BVP] & 511) | ((m[LM_G0] & 15) << 9));
+        mb[2 * lanes + l] = static_cast<uint16_t>(
+            (m[LM_R0P] & 511) | ((m[LM_G1] & 15) << 9));
+        mb[3 * lanes + l] = static_cast<uint16_t>(
+            (m[LM_R1P] & 511) | ((m[LM_G2] & 15) << 9));
+        mb[4 * lanes + l] = static_cast<uint16_t>(
+            (m[LM_L0] & 15) | ((m[LM_L1] & 15) << 4) |
+            ((m[LM_L2] & 15) << 8));
+      } else {
+        rowp[l] = nullptr;
+        rown[l] = 0;
+        for (int64_t j = 0; j < meta_rows_out; ++j) mb[j * lanes + l] = 0;
       }
-      for (int64_t k = nw; k < words; ++k) bb[k * lanes] = 0;
-      const int32_t* m = reinterpret_cast<const int32_t*>(meta_rows[src]);
-      for (int64_t j = 0; j < meta_n; ++j)
-        mb[j * lanes] = static_cast<uint16_t>(m[j]);
-      for (int64_t j = meta_n; j < meta_rows_out; ++j) mb[j * lanes] = 0;
-    } else {
-      for (int64_t k = 0; k < words; ++k) bb[k * lanes] = 0;
-      for (int64_t j = 0; j < meta_rows_out; ++j) mb[j * lanes] = 0;
+    }
+    (void)meta_n;
+    for (int64_t k = 0; k < words; ++k) {
+      int32_t* out = bb + k * lanes;
+      for (int64_t l = 0; l < lanes; ++l) {
+        if (k < rown[l]) {
+          uint32_t w;
+          memcpy(&w, rowp[l] + k, 4);
+          out[l] = static_cast<int32_t>(__builtin_bswap32(w));
+        } else {
+          out[l] = 0;
+        }
+      }
     }
   }
 }

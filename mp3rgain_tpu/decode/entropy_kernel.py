@@ -57,8 +57,8 @@ def _declare_pack(lib):
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u16p = ctypes.POINTER(ctypes.c_uint16)
-    lib.mg_entropy_pack2.restype = None
-    lib.mg_entropy_pack2.argtypes = [
+    lib.mg_entropy_pack3.restype = None
+    lib.mg_entropy_pack3.argtypes = [
         u64p, u64p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
         ctypes.c_int64, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
         i32p, u16p,
@@ -98,7 +98,16 @@ ILV = int(os.environ.get("MP3RGAIN_ENTROPY_ILV", "1"))
 # results — never set outside benchmarking. Values: "", "nofetch",
 # "nolut", "nocont", "noesc".
 ABLATE = os.environ.get("MP3RGAIN_EK_ABLATE", "")
-META_ROWS = 16
+# Per-lane decode metadata travels bit-packed as 5 uint16 rows (the
+# earlier 16 full rows were 25 MB of a 64x60s batch's manifest; packed
+# they are 7.9 MB). Layout (mirrored by _native/mp3dec.cpp
+# mg_entropy_pack3 — keep in sync):
+#   w0: p23[0:12]  | p0[12:15] | count1_table_bit[15]  (gcnt = bit + 16)
+#   w1: bvp[0:9]   | g0[9:13]
+#   w2: r0p[0:9]   | g1[9:13]
+#   w3: r1p[0:9]   | g2[9:13]
+#   w4: l0[0:4] | l1[4:8] | l2[8:12]
+META_ROWS = 5
 MAX_STEPS = 288  # >= bvp + (576-2*bvp)/4 for all legal streams
 # Scratch capacity in word-groups (one group = (8, LANES) int32 = 256
 # bits/lane): 17 * 256 = 4352 bits covers the maximum legal window
@@ -118,15 +127,17 @@ def _cap(value, caps):
     return caps[-1]
 
 
-# Ragged stream-buffer sizes are quantized to a geometric ladder so the
-# entropy-stage executable population stays small across batches; the
-# entropy stage is dispatched separately from the (much larger) analysis
-# tail, so a fresh g_pad key recompiles only the small Pallas program.
+# Ragged stream-buffer sizes are quantized (1/16-of-magnitude units, so
+# padding costs <= ~6% of the buffer) to bound the entropy-stage
+# executable population; the entropy stage is dispatched separately from
+# the (much larger) analysis tail, and a fresh g_pad key recompiles only
+# the small Pallas program (~3 s measured on the v5e remote compiler, so
+# up to 16 keys/octave is affordable — the earlier 1.25-geometric ladder
+# padded the 64x60s bench batch by 22 MB).
 def _quantize_g(groups: int) -> int:
-    v = 32
-    while v < groups:
-        v = -(-int(v * 1.25) // 8) * 8
-    return v
+    v = max(int(groups), 32)
+    unit = max(32, 1 << max((v - 1).bit_length() - 4, 5))
+    return -(-v // unit) * unit
 
 
 def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
@@ -166,7 +177,10 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
             _cp.wait()
 
         class Half:
-            """Per-block constants for one of the interleaved blocks."""
+            """Per-block constants for one of the interleaved blocks.
+
+            Meta arrives bit-packed (5 uint16 rows, layout at META_ROWS
+            above) and is unpacked once per block — pure VPU shifts."""
 
             def __init__(self, h):
                 self.h = h
@@ -174,18 +188,23 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
                 self.ncnt = sref[ilv * pid + h, 1]
                 self.nw8 = sref[ilv * pid + h, 2]
                 m = meta_ref[h]
-                self.p0 = m[fe.LM_P0 : fe.LM_P0 + 1, :]
-                p23 = m[fe.LM_P23 : fe.LM_P23 + 1, :]
-                self.bvp = m[fe.LM_BVP : fe.LM_BVP + 1, :]
-                self.r0p = m[fe.LM_R0P : fe.LM_R0P + 1, :]
-                self.r1p = m[fe.LM_R1P : fe.LM_R1P + 1, :]
-                self.g0 = m[fe.LM_G0 : fe.LM_G0 + 1, :]
-                self.g1 = m[fe.LM_G1 : fe.LM_G1 + 1, :]
-                self.g2 = m[fe.LM_G2 : fe.LM_G2 + 1, :]
-                self.l0 = m[fe.LM_L0 : fe.LM_L0 + 1, :]
-                self.l1 = m[fe.LM_L1 : fe.LM_L1 + 1, :]
-                self.l2 = m[fe.LM_L2 : fe.LM_L2 + 1, :]
-                self.gcnt = m[fe.LM_GCNT : fe.LM_GCNT + 1, :]
+                w0 = m[0:1, :]
+                w1 = m[1:2, :]
+                w2 = m[2:3, :]
+                w3 = m[3:4, :]
+                w4 = m[4:5, :]
+                p23 = w0 & 0xFFF
+                self.p0 = (w0 >> 12) & 7
+                self.gcnt = ((w0 >> 15) & 1) + 16
+                self.bvp = w1 & 511
+                self.g0 = (w1 >> 9) & 15
+                self.r0p = w2 & 511
+                self.g1 = (w2 >> 9) & 15
+                self.r1p = w3 & 511
+                self.g2 = (w3 >> 9) & 15
+                self.l0 = w4 & 15
+                self.l1 = (w4 >> 4) & 15
+                self.l2 = (w4 >> 8) & 15
                 self.pend = self.p0 + p23
 
         halves = [Half(h) for h in range(ilv)]
@@ -824,7 +843,7 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
     i32p = ctypes.POINTER(ctypes.c_int32)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     blk_w8 = w8_b.astype(np.int32)
-    _lib.mg_entropy_pack2(
+    _lib.mg_entropy_pack3(
         md_rows.ctypes.data_as(u64p), meta_rows.ctypes.data_as(u64p),
         ctypes.c_int64(n), ctypes.c_int64(fe.LIGHT_META_N),
         order.ctypes.data_as(i32p), ctypes.c_int64(npad),

@@ -94,6 +94,31 @@ def pack_scf_nibble(scf: np.ndarray) -> np.ndarray:
     """
     return ((scf[:, 0::2] << 4) | (scf[:, 1::2] & 15)).astype(np.uint8)
 
+
+# Split scalefactor transfer form (MPEG-1 light path): long-block
+# scalefactors occupy slots 0..22 only (SCF_LONG layout above), so the
+# dense per-gch payload carries just slots 0..23 nibble-packed (12
+# bytes instead of 32); the short-window slots 24..63 — nonzero only
+# for block_type 2 granules, a small minority of real content — travel
+# as a sparse sideband of (flat row index, 20 packed bytes) expanded by
+# one device row-scatter (parallel.runner._unpack_scf_light). Slot 23
+# (short sfb 0, window 0) rides in the dense part for both kinds.
+SCF_MAIN_BYTES = 12
+SCF_SIDE_BYTES = 20
+
+
+def pack_scf_split(scf: np.ndarray):
+    """(n, 64) int32 → (main (n, 12) uint8, rows (k,) int32 of gch with
+    nonzero short slots, side (k, 20) uint8 nibble-packed slots 24..63).
+    MPEG-1 only (nibble range), like pack_scf_nibble."""
+    sc = scf[:, :24]
+    main = ((sc[:, 0::2] << 4) | (sc[:, 1::2] & 15)).astype(np.uint8)
+    hi = scf[:, 24:]
+    rows = np.nonzero(hi.any(axis=1))[0].astype(np.int32)
+    hr = hi[rows]
+    side = ((hr[:, 0::2] << 4) | (hr[:, 1::2] & 15)).astype(np.uint8)
+    return main, rows, side
+
 _lib.mg_mp3_unpack.restype = ctypes.c_int64
 _lib.mg_mp3_unpack.argtypes = [
     _u8p,

@@ -137,6 +137,28 @@ def _unpack_scf(scf):
     return pair.reshape(scf.shape[:-1] + (fe.SCF_SLOTS,))
 
 
+def _unpack_scf_light(scf, srow, sdata):
+    """Expand the split scalefactor transfer form (fe.pack_scf_split):
+    dense (B, G, 12) uint8 nibbles of slots 0..23 plus a sparse
+    short-window sideband (srow flat gch index — B*G is the dummy
+    padding target — and sdata (S, 20) uint8 nibbles of slots 24..63)
+    into the full (B, G, 64) int32 slot tensor. LSF batches ship
+    unpacked (B, G, 64) int8 and pass through."""
+    if scf.shape[-1] == fe.SCF_SLOTS:
+        return scf
+    bsz, g = scf.shape[0], scf.shape[1]
+    s = scf.astype(jnp.int32)
+    lo = jnp.stack([(s >> 4) & 15, s & 15], axis=-1).reshape(bsz * g, 24)
+    d = sdata.astype(jnp.int32)
+    hi = jnp.stack([(d >> 4) & 15, d & 15], axis=-1).reshape(
+        d.shape[0], fe.SCF_SLOTS - 24
+    )
+    full = jnp.zeros((bsz * g + 1, fe.SCF_SLOTS), jnp.int32)
+    full = full.at[: bsz * g, :24].set(lo)
+    full = full.at[srow, 24:].set(hi)
+    return full[: bsz * g].reshape(bsz, g, fe.SCF_SLOTS)
+
+
 def _analysis_tail(spectrum, scf, info, valid_samples,
                    *, n_channels: int, sample_rate: int, dtype):
     """Shared device pipeline tail: full (B, G, 576) spectra → results."""
@@ -180,7 +202,27 @@ def _analysis_core(spec_i8, esc_idx, esc_val, scf, info, valid_samples,
     )
 
 
-def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
+def _rowmap_from_counts(counts, g_max: int, npad: int):
+    """(B,) per-track granule-channel counts → (B, g_max) row map.
+
+    Track b's records occupy kernel output rows [offs_b, offs_b + n_b)
+    in input order (prepare_batch_arrays_light packs tracks
+    back-to-back), so the map is derivable on device from the counts
+    alone — the earlier explicit rowmap transfer (B*G int32, 2.4 MB on a
+    64x60s batch) carried no extra information. Empty padding slots map
+    to npad (the dummy zero row)."""
+    counts = counts.astype(jnp.int32)
+    offs = jnp.cumsum(counts) - counts
+    g_idx = jnp.arange(g_max, dtype=jnp.int32)
+    return jnp.where(
+        g_idx[None, :] < counts[:, None],
+        offs[:, None] + g_idx[None, :],
+        jnp.int32(npad),
+    )
+
+
+def _light_tail(spec_b, mout, inv, counts, scf, srow, sdata, info,
+                valid_samples,
                 *, nb: int, n_channels: int, sample_rate: int, dtype,
                 fused: bool = False, interpret: bool = False):
     """Raw-bits pipeline tail: sorted kernel outputs → analysis results.
@@ -195,6 +237,8 @@ def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
     from ..decode import entropy_kernel as ek
 
     spec, big_end, c1end, _ok = ek.unsort_blocks(spec_b, mout, inv, nb=nb)
+    rowmap = _rowmap_from_counts(counts, scf.shape[1], nb * ek.LANES)
+    scf = _unpack_scf_light(scf, srow, sdata)
     # Row npad is the dummy target for padding slots.
     zrow = jnp.zeros((1, 576), spec.dtype)
     spec = jnp.concatenate([spec, zrow], axis=0)
@@ -214,7 +258,7 @@ def _light_tail(spec_b, mout, inv, rowmap, scf, info, valid_samples,
     info = info.at[..., fe.BIG_END].set(big_end[rowmap])
     info = info.at[..., fe.COUNT1_END].set(c1end[rowmap])
     return _analysis_tail(
-        spectrum, _unpack_scf(scf), info, valid_samples,
+        spectrum, scf, info, valid_samples,
         n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
     )
 
@@ -249,7 +293,9 @@ def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
     wp = wp.transpose(2, 0, 1, 3)
     w0 = wp[..., 0]
     w1 = wp[..., 1]
-    scf_cm = _unpack_scf(scf.reshape(bsz, t, nch, -1).transpose(2, 0, 1, 3))
+    # scf arrives fully expanded ((B, G, 64); _unpack_scf_light ran in
+    # _light_tail before the branch).
+    scf_cm = scf.reshape(bsz, t, nch, -1).transpose(2, 0, 1, 3)
 
     bt = (w0 >> 8) & 3
     mixed = (w0 >> 10) & 1
@@ -333,18 +379,19 @@ def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
     return hist, loud_idx, peak
 
 
-def _analysis_core_light(scalars, buf, metab, inv, rowmap, scf, info,
-                         valid_samples, *,
+def _analysis_core_light(scalars, buf, metab, inv, counts, scf, srow,
+                         sdata, info, valid_samples, *,
                          nb: int, n_channels: int, sample_rate: int,
-                         dtype, interpret: bool = False):
+                         dtype, fused: bool = False,
+                         interpret: bool = False):
     """Raw-bits batched pipeline: device entropy decode + analysis tail.
 
     The host→device manifest is the raw main-data words (decode/
     entropy_kernel.PreparedEntropy) — packed to the true bitstream size —
-    plus rowmap (B, G) int32 mapping padded track-granule slots to kernel
-    output rows (npad = dummy/empty slot). The whole thing traces into ONE
-    device dispatch: Pallas Huffman decode → gather into (B, G, 576) →
-    synthesis → equal-loudness IIR → loudness histogram. (Production
+    plus counts (B,) int32 per-track record counts (the (B, G) row map is
+    derived on device, _rowmap_from_counts). The whole thing traces into
+    ONE device dispatch: Pallas Huffman decode → gather into (B, G, 576)
+    → synthesis → equal-loudness IIR → loudness histogram. (Production
     single-device dispatch splits the two stages — see dispatch_light.)
     """
     from ..decode import entropy_kernel as ek
@@ -352,8 +399,9 @@ def _analysis_core_light(scalars, buf, metab, inv, rowmap, scf, info,
     spec_b, mout = ek.decode_blocks(scalars, buf, metab, nb=nb,
                                     interpret=interpret)
     return _light_tail(
-        spec_b, mout, inv, rowmap, scf, info, valid_samples,
+        spec_b, mout, inv, counts, scf, srow, sdata, info, valid_samples,
         nb=nb, n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+        fused=fused, interpret=interpret,
     )
 
 
@@ -440,12 +488,17 @@ def prepare_batch_arrays_light(
 ):
     """Pack light-unpacked tracks for _analysis_core_light.
 
-    Returns (prep: PreparedEntropy, (rowmap, scf, info, valid_samples)).
-    rowmap maps (track, granule-slot) → kernel output row; empty padding
-    slots map to prep.npad (the dummy zero row appended on device).
-    force_shapes = (bpad, g_max, nb, g_pad) pins all static shapes so
-    independently prepared shards share one executable. The big arrays
-    (buf, meta, rowmap, scf, info) come from the shared buffer pool —
+    Returns (prep: PreparedEntropy,
+    (counts, scf, srow, sdata, info, valid_samples)).
+    counts[b] is track b's granule-channel record count; the (B, G) map
+    from padded track-granule slots to kernel output rows is derived on
+    device (_rowmap_from_counts — tracks pack back-to-back in input
+    order, so the counts carry the whole map). scf/srow/sdata are the
+    split scalefactor transfer form (fe.pack_scf_split; srow's padding
+    entries point at the device dummy row bpad*g_max).
+    force_shapes = (bpad, g_max, nb, g_pad, s_pad) pins all static
+    shapes so independently prepared shards share one executable. The
+    big arrays (buf, meta, scf, info) come from the shared buffer pool —
     dispatchers hand them back once the h2d transfer has committed."""
     from ..decode import entropy_kernel as ek
     from ..utils import bufpool
@@ -456,41 +509,60 @@ def prepare_batch_arrays_light(
     g_max = _quantize_up(g_max, unit, base=512, ratio=1.3)
     bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
     bpad = -(-bpad // pad_batch_to) * pad_batch_to
-    force_nb = force_g = None
+    force_nb = force_g = force_s = None
     if force_shapes is not None:
-        bpad, g_max, force_nb, force_g = force_shapes
+        bpad, g_max, force_nb, force_g, force_s = force_shapes
 
     prep = ek.prepare_batch(
         [u.md for u in unpacked], [u.meta for u in unpacked],
         quantize_nb=True, force_nb=force_nb, force_g_pad=force_g,
     )
 
-    rowmap = bufpool.take((bpad, g_max), np.int32)
-    rowmap.fill(prep.npad)
+    counts = np.zeros(bpad, np.int32)
+    counts[:bsz] = [u.n for u in unpacked]
     # Device-read info fields travel packed: 2 uint16 words per gch
     # (fe.pack_info_light; expanded on device by _expand_info_light).
     info = bufpool.take_zeroed((bpad, g_max, fe.IP_N), np.uint16)
-    # MPEG-1 scalefactors fit 4 bits each and ship two-per-byte; LSF
-    # streams (slen up to 5 bits) keep the unpacked int8 form. The
-    # sample rate decides the MPEG version, and batches are bucketed by
-    # sample rate, so the transfer form is uniform within a batch (and
-    # the tail executable is keyed by sample_rate + shapes already).
+    # MPEG-1 scalefactors fit 4 bits each and ship split: a dense
+    # 12-byte nibble row of long slots 0..23 plus a sparse short-window
+    # sideband (fe.pack_scf_split). LSF streams (slen up to 5 bits)
+    # keep the unpacked int8 form with an empty sideband. The sample
+    # rate decides the MPEG version, and batches are bucketed by sample
+    # rate, so the transfer form is uniform within a batch (and the
+    # tail executable is keyed by sample_rate + shapes already).
     nibble = unpacked and unpacked[0].sample_rate >= 32000
-    scf_slots = fe.SCF_SLOTS // 2 if nibble else fe.SCF_SLOTS
+    scf_slots = fe.SCF_MAIN_BYTES if nibble else fe.SCF_SLOTS
     scf = bufpool.take_zeroed(
         (bpad, g_max, scf_slots), np.uint8 if nibble else np.int8
     )
-    off = 0
+    side_rows: list = []
+    side_data: list = []
     for i, u in enumerate(unpacked):
-        rowmap[i, : u.n] = np.arange(off, off + u.n, dtype=np.int32)
         info[i, : u.n] = fe.pack_info_light(u.info)
-        scf[i, : u.n] = fe.pack_scf_nibble(u.scf) if nibble else u.scf
-        off += u.n
+        if nibble:
+            main, rows, side = fe.pack_scf_split(u.scf)
+            scf[i, : u.n] = main
+            if len(rows):
+                side_rows.append(rows + i * g_max)
+                side_data.append(side)
+        else:
+            scf[i, : u.n] = u.scf
+    n_side = int(sum(len(r) for r in side_rows))
+    s_pad = _quantize_up(max(n_side, 1), 8, base=256, ratio=4.0)
+    if force_s is not None:
+        assert force_s >= s_pad or force_s >= n_side, (force_s, n_side)
+        s_pad = max(force_s, s_pad) if force_s < s_pad else force_s
+    # Padding entries scatter zero rows into the dummy slot bpad*g_max.
+    srow = np.full(s_pad, bpad * g_max, np.int32)
+    sdata = np.zeros((s_pad, fe.SCF_SIDE_BYTES), np.uint8)
+    if n_side:
+        srow[:n_side] = np.concatenate(side_rows)
+        sdata[:n_side] = np.concatenate(side_data)
     valid_samples = np.array(
         [u.n // n_channels * 576 for u in unpacked] + [0] * (bpad - bsz),
         dtype=np.int32,
     )
-    return prep, (rowmap, scf, info, valid_samples)
+    return prep, (counts, scf, srow, sdata, info, valid_samples)
 
 
 def prepare_batch_arrays_light_sharded(
@@ -513,17 +585,19 @@ def prepare_batch_arrays_light_sharded(
         prepare_batch_arrays_light(s, n_channels) for s in shards
     ]
     bpad = max(r[1][0].shape[0] for r in first)
-    g_max = max(r[1][0].shape[1] for r in first)
+    g_max = max(r[1][1].shape[1] for r in first)
     nb = max(r[0].nb for r in first)
     g_pad = max(r[0].g_pad for r in first)
+    s_pad = max(r[1][2].shape[0] for r in first)
     results = []
     for s, r in zip(shards, first):
         prep, rest = r
-        if (rest[0].shape != (bpad, g_max) or prep.nb != nb
-                or prep.g_pad != g_pad):
-            bufpool.give(prep.buf, prep.meta, *rest[:3])
+        if (rest[1].shape[:2] != (bpad, g_max) or prep.nb != nb
+                or prep.g_pad != g_pad or rest[2].shape[0] != s_pad):
+            bufpool.give(prep.buf, prep.meta, rest[1], rest[4])
             prep, rest = prepare_batch_arrays_light(
-                s, n_channels, force_shapes=(bpad, g_max, nb, g_pad)
+                s, n_channels,
+                force_shapes=(bpad, g_max, nb, g_pad, s_pad),
             )
         results.append((prep, rest))
 
@@ -535,13 +609,11 @@ def prepare_batch_arrays_light_sharded(
         stack(lambda p, r: p.buf),
         stack(lambda p, r: p.meta),
         stack(lambda p, r: p.inv),
-        stack(lambda p, r: r[0]),
-        stack(lambda p, r: r[1]),
-        stack(lambda p, r: r[2]),
-        stack(lambda p, r: r[3]),
+    ) + tuple(
+        stack(lambda p, r, j=j: r[j]) for j in range(6)
     )
     for p, r in results:
-        bufpool.give(p.buf, p.meta, *r[:3])
+        bufpool.give(p.buf, p.meta, r[1], r[4])
     return args, nb, shard_index
 
 
@@ -748,22 +820,30 @@ class MeshRunner:
 
         bsz = len(unpacked)
         interpret = jax.default_backend() != "tpu"
-        prep, (rowmap, scf, info, valid) = prepare_batch_arrays_light(
-            unpacked, n_channels, 1
+        prep, (counts, scf, srow, sdata, info, valid) = (
+            prepare_batch_arrays_light(unpacked, n_channels, 1)
         )
         dev1 = jax.device_put((prep.scalars, prep.buf, prep.meta))
         spec_b, mout = ek.decode_blocks(*dev1, nb=prep.nb,
                                         interpret=interpret)
-        dev2 = jax.device_put((prep.inv, rowmap, scf, info, valid))
+        dev2 = jax.device_put((prep.inv, counts, scf, srow, sdata, info,
+                               valid))
         tail = _light_tail_pipeline(n_channels, sample_rate, prep.nb,
                                     self.dtype, use_fused_hybrid(),
                                     interpret)
         hist, loud_idx, peak = tail(spec_b, mout, *dev2)
         # Transfers have materialized on device once the inputs are
-        # ready; the pooled host buffers are then safe to recycle.
-        jax.block_until_ready(dev1)
-        jax.block_until_ready(dev2)
-        bufpool.give(prep.buf, prep.meta, rowmap, scf, info)
+        # ready; the pooled host buffers are then safe to recycle. Only
+        # on backends that really copy (tpu): CPU jax may ALIAS the host
+        # numpy buffer in device_put, and block_until_ready confirms only
+        # the transfer — recycling an aliased buffer lets the next
+        # batch's pack overwrite memory the still-queued computation
+        # reads (a race observed as cross-bucket result corruption on
+        # the CPU/interpret path).
+        if not interpret:
+            jax.block_until_ready(dev1)
+            jax.block_until_ready(dev2)
+            bufpool.give(prep.buf, prep.meta, scf, info)
         return (hist, loud_idx, peak, bsz)
 
     def collect(self, handle):

@@ -35,8 +35,8 @@ def _mp3(sr, mode, bitrate, ch, seed, seconds=0.5):
 
 def _run_both(datas, sr, nch):
     ups = [fe.unpack_data_light(d) for d in datas]
-    prep, (rowmap, scf, info, valid) = pr.prepare_batch_arrays_light(
-        ups, nch, 1
+    prep, (counts, scf, srow, sdata, info, valid) = (
+        pr.prepare_batch_arrays_light(ups, nch, 1)
     )
     spec_b, mout = ek.decode_blocks(
         jnp.asarray(prep.scalars), jnp.asarray(prep.buf),
@@ -45,8 +45,9 @@ def _run_both(datas, sr, nch):
     out = []
     for fused in (False, True):
         hist, loud_idx, peak = pr._light_tail(
-            spec_b, mout, jnp.asarray(prep.inv), jnp.asarray(rowmap),
-            jnp.asarray(scf), jnp.asarray(info), jnp.asarray(valid),
+            spec_b, mout, jnp.asarray(prep.inv), jnp.asarray(counts),
+            jnp.asarray(scf), jnp.asarray(srow), jnp.asarray(sdata),
+            jnp.asarray(info), jnp.asarray(valid),
             nb=prep.nb, n_channels=nch, sample_rate=sr,
             dtype=jnp.float32, fused=fused, interpret=True,
         )

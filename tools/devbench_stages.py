@@ -69,16 +69,22 @@ def main():
 
     w8_cap, nb = prep.w8_cap, prep.nb
 
-    def entropy(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
-        metab = metab.at[0, 15, 0].set(bump.astype(metab.dtype))
+    def entropy(bump, scalars, buf, metab, inv, counts, scf, srow,
+                sdata, info, valid):
+        metab = metab.at[0, 4, 0].set(
+            metab[0, 4, 0] ^ ((bump & 1) << 15).astype(metab.dtype)
+        )
         spec, be, ce, _ = ek.decode_device(scalars, buf, metab, inv,
                                            w8_cap=w8_cap, nb=nb)
         s = jnp.sum(spec, dtype=jnp.int32)
         return None, None, jnp.stack([s, s, s])[None, :]
 
     def prefix_core(stop):
-        def fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
-            metab = metab.at[0, 15, 0].set(bump.astype(metab.dtype))
+        def fn(bump, scalars, buf, metab, inv, counts, scf, srow,
+               sdata, info, valid):
+            metab = metab.at[0, 4, 0].set(
+            metab[0, 4, 0] ^ ((bump & 1) << 15).astype(metab.dtype)
+        )
             spec, big_end, c1end, _ = ek.decode_device(
                 scalars, buf, metab, inv, w8_cap=w8_cap, nb=nb)
             zrow = jnp.zeros((1, 576), spec.dtype)
@@ -86,6 +92,9 @@ def main():
             zs = jnp.zeros((1,), big_end.dtype)
             big_end = jnp.concatenate([big_end, zs])
             c1end = jnp.concatenate([c1end, zs])
+            rowmap = rn._rowmap_from_counts(
+                counts, scf.shape[1], nb * ek.LANES)
+            scf = rn._unpack_scf_light(scf, srow, sdata)
             spectrum = spec[rowmap]
             info = rn._expand_info_light(info)
             info = info.at[..., fe.BIG_END].set(big_end[rowmap])
@@ -93,7 +102,7 @@ def main():
             if stop == "gather":
                 s = jnp.sum(spectrum, dtype=jnp.int32)
                 return None, None, jnp.stack([s, s, s])[None, :]
-            fields = rn._derive_fields(spectrum, rn._unpack_scf(scf), info,
+            fields = rn._derive_fields(spectrum, scf, info,
                                        n_channels=nch)
             from mp3rgain_tpu.decode.format_tables import SR_ROW
             from mp3rgain_tpu.decode import synthesis
@@ -133,16 +142,19 @@ def main():
     full = partial(rn._analysis_core_light, nb=nb,
                    n_channels=nch, sample_rate=sr, dtype=jnp.float32)
 
-    def full_fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
+    def full_fn(bump, scalars, buf, metab, inv, counts, scf, srow,
+                sdata, info, valid):
         # info is packed (fe.pack_info_light): xor global-gain low bits.
         info = info.at[..., 0].set(info[..., 0] ^ (bump % 3).astype(info.dtype))
-        return full(scalars, buf, metab, inv, rowmap, scf, info, valid)
+        return full(scalars, buf, metab, inv, counts, scf, srow, sdata,
+                    info, valid)
 
-    def fused_fn(bump, scalars, buf, metab, inv, rowmap, scf, info, valid):
+    def fused_fn(bump, scalars, buf, metab, inv, counts, scf, srow,
+                 sdata, info, valid):
         info = info.at[..., 0].set(info[..., 0] ^ (bump % 3).astype(info.dtype))
         spec_b, mout = ek.decode_blocks(scalars, buf, metab, nb=nb)
         return rn._light_tail(
-            spec_b, mout, inv, rowmap, scf, info, valid,
+            spec_b, mout, inv, counts, scf, srow, sdata, info, valid,
             nb=nb, n_channels=nch, sample_rate=sr, dtype=jnp.float32,
             fused=True,
         )

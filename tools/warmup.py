@@ -95,22 +95,25 @@ def warm_mp3(sr: int, nch: int, max_minutes: float, batch: int) -> int:
             nb=nb, interpret=interpret,
         )
         inv = np.arange(nb * ek.LANES, dtype=np.int32)
-        rowmap = np.full((batch, g_max), nb * ek.LANES, np.int32)
+        counts = np.zeros(batch, np.int32)
         from mp3rgain_tpu.decode import frontend as fe
 
         # Match the transfer forms prepare_batch_arrays_light ships:
-        # packed 2×uint16 info; nibble-packed scf for MPEG-1 rates.
+        # packed 2×uint16 info; split 12-byte scf + sideband for MPEG-1.
         if sr >= 32000:
-            scf = np.zeros((batch, g_max, fe.SCF_SLOTS // 2), np.uint8)
+            scf = np.zeros((batch, g_max, fe.SCF_MAIN_BYTES), np.uint8)
         else:
             scf = np.zeros((batch, g_max, fe.SCF_SLOTS), np.int8)
+        srow = np.full(256, batch * g_max, np.int32)
+        sdata = np.zeros((256, fe.SCF_SIDE_BYTES), np.uint8)
         info = np.zeros((batch, g_max, fe.IP_N), np.uint16)
         valid = np.zeros(batch, np.int32)
         tail = rn._light_tail_pipeline(
             nch, sr, nb, jnp.float32, rn.use_fused_hybrid(), interpret
         )
-        out = tail(spec_b, mout, jnp.asarray(inv), jnp.asarray(rowmap),
-                   jnp.asarray(scf), jnp.asarray(info), jnp.asarray(valid))
+        out = tail(spec_b, mout, jnp.asarray(inv), jnp.asarray(counts),
+                   jnp.asarray(scf), jnp.asarray(srow), jnp.asarray(sdata),
+                   jnp.asarray(info), jnp.asarray(valid))
         jax.block_until_ready(out)
         n += 1
         print(f"  tail B={batch} g_max={g_max} nb={nb}: "
