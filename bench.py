@@ -80,6 +80,12 @@ def _measure(fn, dev_args, perturb_chain, audio_seconds):
     return (time.monotonic() - t0) / ITERS
 
 
+def _timed(fn):
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
 def main() -> None:
     from functools import partial
 
@@ -101,13 +107,16 @@ def main() -> None:
 
     data = _make_track_mp3(TRACK_SECONDS)
 
-    # Host stage rates (both paths, for the record).
-    t0 = time.monotonic()
+    # Host stage rates (both paths, for the record). Steady-state = min
+    # of 3: the first call pays allocator warmup, and this 1-core VM's
+    # host timings are noisy (same code measures 2-10x apart minutes
+    # apart), so a single sample misstates the steady rate either way.
+    full_dt = min(_timed(lambda: fe.unpack_data(data)) for _ in range(3))
     u_full = fe.unpack_data(data)
-    full_dt = time.monotonic() - t0
-    t0 = time.monotonic()
+    light_dt = min(
+        _timed(lambda: fe.unpack_data_light(data)) for _ in range(3)
+    )
     u_light = fe.unpack_data_light(data)
-    light_dt = time.monotonic() - t0
     sr, nch = u_full.sample_rate, u_full.n_channels
     audio_sec_per_track = (u_full.n // nch) * 576 / sr
     print(
@@ -127,26 +136,30 @@ def main() -> None:
         # Two warm-up rounds: round 1 faults the pooled buffers' pages,
         # round 2 lets glibc's dynamic mmap threshold adapt for the
         # non-pooled temporaries. Round 3+ is what a scan pays per batch.
-        for _ in range(2):
+        prep_dt = None
+        for _ in range(3):
+            t0 = time.monotonic()
             prep, rest = prepare_batch_arrays_light(
                 [u_light] * BATCH_TRACKS, nch, 1
             )
-            bufpool.give(prep.buf, prep.meta, rest[1], rest[4])
-            del prep, rest
-        t0 = time.monotonic()
-        prep, rest = prepare_batch_arrays_light([u_light] * BATCH_TRACKS, nch, 1)
-        prep_dt = time.monotonic() - t0
+            dt = time.monotonic() - t0
+            prep_dt = dt if prep_dt is None else min(prep_dt, dt)
+            if _ < 2:
+                bufpool.give(prep.buf, prep.meta, rest[1], rest[4])
+                del prep, rest
         args = (prep.scalars, prep.buf, prep.meta, prep.inv) + rest
-        # Steady-state h2d (second transfer): the first put of a fresh
-        # large buffer pays one-time transfer-path setup a multi-batch
-        # scan amortizes away.
-        for _ in range(2):
+        # Steady-state h2d (third transfer, best-of-warm): the first put
+        # of a fresh large buffer pays one-time transfer-path setup a
+        # multi-batch scan amortizes away.
+        h2d_samples = []
+        for _ in range(3):
             t0 = time.monotonic()
             dev_args = jax.device_put(args)
             jax.tree_util.tree_map(
                 lambda x: x.block_until_ready(), dev_args
             )
-            h2d_dt = time.monotonic() - t0
+            h2d_samples.append(time.monotonic() - t0)
+        h2d_dt = min(h2d_samples[1:])
         nbytes = sum(a.nbytes for a in args)
         print(
             f"host pack: {prep_dt:.2f}s; h2d raw-bits manifest: "
@@ -154,6 +167,19 @@ def main() -> None:
             f"({nbytes / 1e6 / max(h2d_dt, 1e-9):.0f} MB/s)",
             file=sys.stderr, flush=True,
         )
+
+        # AAC host prep + h2d ALSO measured now, before the first remote
+        # compile/execution: on this runtime the first compute downgrades
+        # all subsequent h2d to ~50-90 MB/s for the rest of the process
+        # (measured; a pure-transfer process sustains ~1,500 MB/s through
+        # 1.7 GB). Measuring both payloads pre-compute gives the stable
+        # link rate; scan_steady_x below captures the interleaved
+        # reality end-to-end.
+        aac_prep = None
+        try:
+            aac_prep = _prep_aac()
+        except Exception as e:
+            print(f"aac prep failed: {e}", file=sys.stderr, flush=True)
 
         core = partial(
             _analysis_core_light,
@@ -237,21 +263,91 @@ def main() -> None:
         "value": round(audio_hours_per_sec, 4),
         "unit": "audio-hours/sec/chip",
         "vs_baseline": round(audio_hours_per_sec / BASELINE_AUDIO_HOURS_PER_SEC, 4),
+        # The whole truth, not just the on-chip rate: serial end-to-end
+        # (host walk + pack + h2d + chip on this 1-core tunneled runner)
+        # and the pipelined bound (analyze_library overlaps the stages).
+        "mp3_device_x": round(rtf, 1),
+        "mp3_e2e_serial_x": round(e2e, 1),
+        "mp3_e2e_pipelined_x": round(audio_seconds / bottleneck, 1),
     }
-    if on_tpu:
+    if on_tpu and aac_prep is not None:
         try:
-            record.update(_bench_aac())
+            record.update(_bench_aac_compute(aac_prep))
         except Exception as e:  # keep the headline metric robust
             print(f"aac bench failed: {e}", file=sys.stderr, flush=True)
+    if on_tpu and not os.environ.get("BENCH_SKIP_SCAN"):
+        try:
+            record.update(_bench_scan())
+        except Exception as e:  # keep the headline metric robust
+            print(f"scan bench failed: {e}", file=sys.stderr, flush=True)
     print(json.dumps(record))
 
 
-def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
-    """AAC/M4A batch throughput (BASELINE config 4): host AAC-LC front-end
-    rate per core + the shared device DSP (AAC IMDCT → equal-loudness →
-    histogram) on a batch, with chained-dependency timing."""
+def _bench_scan(tracks: int = 128, passes: int = 3) -> dict:
+    """Real library-scan throughput: analyze_library over an on-disk MP3
+    corpus, one warmup pass (pays the in-process compiles) + `passes`
+    timed passes. 128 tracks = 2 batches, so the scan's uploader-thread
+    pipeline (pack+h2d of batch k+1 under compute of batch k) is
+    exercised while the whole bench stays inside the process's ~1.7 GB
+    fast-transfer budget (NOTES.md token bucket — beyond it every pass
+    crawls at the drained rate and measures the throttle, not the code). Reports the per-pass rates and their MEDIAN — not
+    best-of-N — as scan_steady_x. The corpus (mixed-length 44.1 kHz
+    joint-stereo tracks, one batch bucket) is generated once and cached
+    under /tmp keyed by a version marker."""
+    from pathlib import Path
+
+    from mp3rgain_tpu.parallel.runner import MeshRunner, analyze_library
+    from mp3rgain_tpu.testing import fixtures
+
+    corpus = Path(os.environ.get("BENCH_SCAN_DIR",
+                                 "/tmp/mp3rgain_bench_scan_v1"))
+    corpus.mkdir(parents=True, exist_ok=True)
+    paths = []
+    sr = 44100
+    for i in range(tracks):
+        p = corpus / f"t{i:03d}.mp3"
+        paths.append(p)
+        if p.exists():
+            continue
+        seconds = 38 + (i % 4) * 3  # 38..47 s: one padded-shape bucket
+        rng = np.random.default_rng(1000 + i)
+        t = np.arange(sr * seconds) / sr
+        wave = 0.3 * np.sin(2 * np.pi * (200 + 17.0 * i) * t)
+        wave += 0.1 * rng.standard_normal(len(t))
+        pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        stereo = np.stack([pcm, np.roll(pcm, 13)], axis=1)
+        tmp = p.with_suffix(".tmp")
+        tmp.write_bytes(fixtures.encode_mp3(stereo, sr, bitrate=192,
+                                            mode=fixtures.MODE_JOINT))
+        tmp.rename(p)
+
+    runner = MeshRunner()
+    rates = []
+    for i in range(passes + 1):
+        res = analyze_library(paths, runner=runner)
+        bad = [t for t in res.tracks if not t.ok]
+        assert not bad, [t.error for t in bad]
+        label = "warmup" if i == 0 else f"pass {i}"
+        print(f"scan {label}: {res.audio_seconds:.0f}s audio in "
+              f"{res.wall_seconds:.2f}s = {res.realtime_factor:.0f}x",
+              file=sys.stderr, flush=True)
+        if i > 0:
+            rates.append(round(res.realtime_factor, 1))
+    return {
+        "scan_steady_x": sorted(rates)[len(rates) // 2],
+        "scan_passes_x": rates,
+        "scan_tracks": len(paths),
+    }
+
+
+def _prep_aac(tracks: int = 16, seconds: int = 60) -> dict:
+    """AAC host front-end + h2d measurement (BASELINE config 4).
+
+    Runs BEFORE any remote compile/execution (see main): the host
+    AAC-LC quantized unpack rate per core, the batch pack, and the warm
+    h2d of the packed payload. Returns the state _bench_aac_compute
+    needs to finish the section."""
     import jax
-    import jax.numpy as jnp
 
     from mp3rgain_tpu import aac
     from mp3rgain_tpu.decode import aac_frontend as af
@@ -285,20 +381,37 @@ def _bench_aac(tracks: int = 16, seconds: int = 60) -> dict:
           file=sys.stderr, flush=True)
 
     args = aac.prepare_batch_arrays_aac_q([u] * tracks, nch)
-    # Steady-state h2d: time the SECOND transfer. The first device_put
+    # Steady-state h2d: min of the warm transfers. The first device_put
     # of a fresh large buffer pays one-time transfer-path setup (page
     # table walks, pinning) that a multi-batch scan amortizes away —
-    # measured 61 MB/s cold vs 550-1,400 MB/s warm for the same bytes.
-    h2d_dt = None
+    # measured 5-61 MB/s cold vs 550-1,400 MB/s warm for the same bytes.
     nbytes = sum(a.nbytes for a in args)
-    for _ in range(2):
+    h2d_samples = []
+    for _ in range(3):
         t0 = time.monotonic()
         dev_args = jax.device_put(args)
         jax.tree_util.tree_map(lambda x: x.block_until_ready(), dev_args)
-        h2d_dt = time.monotonic() - t0
+        h2d_samples.append(time.monotonic() - t0)
+    h2d_dt = min(h2d_samples[1:])
     print(f"aac h2d (steady): {nbytes / 1e6:.0f} MB in {h2d_dt:.2f}s "
           f"({nbytes / 1e6 / h2d_dt:.0f} MB/s)",
           file=sys.stderr, flush=True)
+    return dict(dev_args=dev_args, h2d_dt=h2d_dt, host_dt=host_dt,
+                host_x=host_x, track_sec=track_sec, nch=nch, sr=sr,
+                tracks=tracks)
+
+
+def _bench_aac_compute(p: dict) -> dict:
+    """Finish the AAC section on the device payload _prep_aac staged."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp3rgain_tpu import aac
+
+    tracks, nch, sr = p["tracks"], p["nch"], p["sr"]
+    track_sec, host_dt, h2d_dt = p["track_sec"], p["host_dt"], p["h2d_dt"]
+    dev_args = p["dev_args"]
+    host_x = p["host_x"]
 
     fn0 = aac._batch_fn_q(nch, sr, jnp.float32)
 

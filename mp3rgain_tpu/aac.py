@@ -88,10 +88,10 @@ def _batch_fn_q(n_channels: int, sample_rate: int, dtype):
     DSP on device."""
     from .decode import aac_prep
 
-    def core(spec_q4, meta, esc_row, esc_pos, esc_val,
+    def core(spec_q4, meta, esc_idx, esc_val,
              fb16, fbexp, fbmap, window_seq, window_shape, valid_samples):
         spec = aac_prep.prep_spectra(
-            spec_q4, meta, esc_row, esc_pos, esc_val,
+            spec_q4, meta, esc_idx, esc_val,
             fb16, fbexp, fbmap,
             sample_rate=sample_rate, n_channels=n_channels, dtype=dtype,
         )
@@ -169,11 +169,11 @@ def use_device_prep() -> bool:
 _FB_LADDER = (4, 16, 64, 256, 1024, 4096, 16384)
 
 # Escape-coefficient ladder (|q| > 7 positions, sparse scatter-add;
-# ~1.4% of coefficients on real content, 8 B each). Geometric at the
-# bottom, then linear 512k steps: a 4x jump at the top would ship
-# megabytes of zero padding per batch.
-_ESC_LADDER = tuple([512, 2048, 8192, 32768, 131072]
-                    + [524288 * k for k in range(1, 33)])
+# ~1.4% of coefficients on real content, 6 B each). Geometric at the
+# bottom, then linear 128k steps: coarse top steps would ship megabytes
+# of zero padding per batch.
+_ESC_LADDER = tuple([512, 2048, 8192, 32768]
+                    + [131072 * k for k in range(1, 129)])
 
 
 def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
@@ -186,8 +186,12 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
 
     bsz = len(unpacked)
     f_max = max((u.n // n_channels) * n_channels for u in unpacked)
-    f_max = _quantize_up(max(f_max, n_channels), n_channels, base=128,
-                         ratio=1.3)
+    # Finer frame-count quantization than the f16/heavy path (1.3-ratio
+    # ladder padded a same-length batch by 26%): spec_q4 + meta dominate
+    # the h2d payload and both scale with f_max, while the tail compile
+    # this keys is cheap relative to the transfer it saves on scans.
+    f_max = _quantize_up(max(f_max, n_channels), 8 * n_channels, base=128,
+                         ratio=1.08)
     bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
 
     # Coded extent: quantized coefficients live only in btype==1 bands,
@@ -209,18 +213,26 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
     # leave stale (pad rows per track + unused batch lanes) — a full
     # fill() would re-touch every page of the biggest array per batch.
     exth = ext // 2
+    from .decode import aac_prep
+
+    nbands = aac_prep.n_bands(sr)
     spec_q4 = bufpool.take((bpad, f_max, exth), np.int8)
-    meta = bufpool.take_zeroed((bpad, f_max, 64), np.uint16)
+    meta = bufpool.take_zeroed((bpad, f_max, nbands), np.uint16)
     wseq = bufpool.take_zeroed((bpad, f_max), np.uint8)
     wshape = bufpool.take_zeroed((bpad, f_max), np.uint8)
     valid = np.zeros(bpad, np.int32)
     fbmap = bufpool.take((bpad * f_max,), np.int32)
     fbmap[:] = np.arange(bpad * f_max, dtype=np.int32)
 
+    # Escape entries ship as one flat coefficient index (row*1024 + pos)
+    # + the exact int16 value: 6 B/entry instead of the earlier
+    # (row, pos, val) 8 B. int64 indices only when the batch's flat
+    # coefficient space outgrows int32 (batches of many ~40-min tracks).
+    idx_dt = np.int32 if bpad * f_max * 1024 < 2**31 else np.int64
+
     fb_rows = []
     fb_exps = []
-    esc_rows = []
-    esc_poss = []
+    esc_idxs = []
     esc_vals = []
     for i, u in enumerate(unpacked):
         n = (u.n // n_channels) * n_channels
@@ -228,8 +240,8 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
         big = (a > 7) | (a < -7)  # not np.abs: abs(int8 -128) overflows
         if big.any():
             r2, p2 = np.nonzero(big)
-            esc_rows.append((r2 + i * f_max).astype(np.int32))
-            esc_poss.append(p2.astype(np.int16))
+            esc_idxs.append(((r2 + i * f_max).astype(idx_dt) << 10)
+                            | p2.astype(idx_dt))
             esc_vals.append(a[r2, p2].astype(np.int16))
             a = np.where(big, np.int8(0), a)
         # Two's-complement nibble pack: low nibble = even coefficient.
@@ -240,9 +252,10 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
         # — only reachable through corrupt streams, hence the clip);
         # btype (0..4) in bits 12-14, ms_used in bit 15.
         meta[i, :n] = (
-            (np.clip(u.lvl[:n], -2048, 2047).astype(np.int32) + 2048)
-            | (u.btype[:n].astype(np.int32) << 12)
-            | (u.msf[:n].astype(np.int32) << 15)
+            (np.clip(u.lvl[:n, :nbands], -2048, 2047).astype(np.int32)
+             + 2048)
+            | (u.btype[:n, :nbands].astype(np.int32) << 12)
+            | (u.msf[:n, :nbands].astype(np.int32) << 15)
         ).astype(np.uint16)
         wseq[i, :n] = u.info[:n, af.WINDOW_SEQ].astype(np.uint8)
         wshape[i, :n] = u.info[:n, af.WINDOW_SHAPE].astype(np.uint8)
@@ -252,8 +265,8 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
             keep = row < n
             # Escape positions always lie inside a coded band, and ext
             # covers every coded band in the batch, so pos < ext.
-            esc_rows.append((row[keep] + i * f_max).astype(np.int32))
-            esc_poss.append((u.esc_idx & 1023)[keep].astype(np.int16))
+            esc_idxs.append(((row[keep] + i * f_max).astype(idx_dt) << 10)
+                            | (u.esc_idx & 1023)[keep].astype(idx_dt))
             esc_vals.append(u.esc_val[keep])
         for j, row in enumerate(u.fbrows):
             if row >= n:
@@ -263,15 +276,13 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
             fb_exps.append(u.fbexp[j])
     spec_q4[bsz:] = 0
 
-    n_esc = sum(len(e) for e in esc_rows)
+    n_esc = sum(len(e) for e in esc_idxs)
     ecap = next((e for e in _ESC_LADDER if e >= max(n_esc, 1)),
                 max(n_esc, 1))
-    esc_row = np.zeros(ecap, np.int32)
-    esc_pos = np.zeros(ecap, np.int16)
-    esc_val = np.zeros(ecap, np.int16)  # padding adds 0 at (0, 0)
+    esc_idx = np.zeros(ecap, idx_dt)  # padding adds 0 at index 0
+    esc_val = np.zeros(ecap, np.int16)
     if n_esc:
-        esc_row[:n_esc] = np.concatenate(esc_rows)
-        esc_pos[:n_esc] = np.concatenate(esc_poss)
+        esc_idx[:n_esc] = np.concatenate(esc_idxs)
         esc_val[:n_esc] = np.concatenate(esc_vals)
 
     fbp = next((f for f in _FB_LADDER if f >= max(len(fb_rows), 1)),
@@ -281,7 +292,7 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
     if fb_rows:
         fb16[: len(fb_rows)] = np.stack(fb_rows)
         fbexp[: len(fb_rows)] = np.array(fb_exps, np.int8)
-    return (spec_q4, meta, esc_row, esc_pos, esc_val,
+    return (spec_q4, meta, esc_idx, esc_val,
             fb16.view(np.float16), fbexp, fbmap, wseq, wshape, valid)
 
 
@@ -301,7 +312,7 @@ def analyze_batch_q(unpacked: list, sample_rate: int, n_channels: int,
     fn = _batch_fn_q(n_channels, sample_rate, dtype)
     dev_args = jax.device_put(args)
     jax.block_until_ready(dev_args)
-    bufpool.give(*args[:2], args[7], args[8], args[9])
+    bufpool.give(*args[:2], args[6], args[7], args[8])
     t2 = _time.monotonic()
     hist, loud_idx, peak = fn(*dev_args)
     stats = np.asarray(

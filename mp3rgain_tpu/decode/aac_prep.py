@@ -12,10 +12,11 @@ stereo (4.6.8) as batched XLA ops — elementwise VPU work plus one-hot
 The quantized spectrum ships as two signed 4-bit coefficients per byte
 (the payload's dominant term; |q| <= 7 covers ~98.6% of coefficients on
 real AAC content) with every |q| > 7 coefficient in a sparse escape
-sideband (row int32, position int16, exact int16 value) that a device
-scatter-add reconstructs exactly. Band metadata packs into one uint16
-per band: bits 0-11 the scalefactor/PNS-energy/intensity-position
-value biased by +2048, bits 12-14 the band type, bit 15 ms_used.
+sideband (flat index row*1024+pos int32, exact int16 value) that a
+device scatter-add reconstructs exactly. Band metadata packs into one
+uint16 per band — bits 0-11 the scalefactor/PNS-energy/intensity-
+position value biased by +2048, bits 12-14 the band type, bit 15
+ms_used — over n_bands(sr) slots (num_swb rounded to 4), not all 64.
 Payload size is the h2d bottleneck on tunneled runtimes (NOTES.md
 token-bucket throttle), hence the aggressive packing. Frames the
 device path cannot express (EIGHT_SHORT windows, TNS, |q| > int16)
@@ -41,15 +42,26 @@ import jax.numpy as jnp
 from .aac_format_tables import SWB_1024_MAP, SWB_LONG_TABLES
 from .aac_frontend import ADTS_SR_INDEX
 
-N_BANDS = 64  # band-metadata slots (num_swb <= 51 for all rates)
+N_BANDS = 64  # host-side band slots (num_swb <= 51 for all rates)
+
+
+@lru_cache(maxsize=None)
+def n_bands(sample_rate: int) -> int:
+    """Transfer band-slot count for one sample rate: the long-window
+    num_swb rounded up to a multiple of 4. The host decoder's fixed
+    64-slot form is trimmed to this before transfer (band metadata is
+    ~18% of the batch payload; slots past num_swb are always zero)."""
+    swb = SWB_LONG_TABLES[SWB_1024_MAP[ADTS_SR_INDEX[sample_rate]]]
+    return -(-(len(swb) - 1) // 4) * 4
 
 
 @lru_cache(maxsize=None)
 def band_expand_matrix(sample_rate: int) -> np.ndarray:
-    """(N_BANDS, 1024) 0/1 expansion: per-band values -> per-coefficient
-    (long windows; the device path never sees EIGHT_SHORT frames)."""
+    """(n_bands(sr), 1024) 0/1 expansion: per-band values -> per-
+    coefficient (long windows; the device path never sees EIGHT_SHORT
+    frames)."""
     swb = SWB_LONG_TABLES[SWB_1024_MAP[ADTS_SR_INDEX[sample_rate]]]
-    e = np.zeros((N_BANDS, 1024), dtype=np.float32)
+    e = np.zeros((n_bands(sample_rate), 1024), dtype=np.float32)
     for k in range(len(swb) - 1):
         e[k, swb[k] : swb[k + 1]] = 1.0
     return e
@@ -71,18 +83,18 @@ def _noise_uniform(rows: int, cols: int):
     return s.astype(jnp.float32) * jnp.float32(1.0 / 2147483648.0)
 
 
-def prep_spectra(spec_q4, meta, esc_row, esc_pos, esc_val,
+def prep_spectra(spec_q4, meta, esc_idx, esc_val,
                  fb16, fbexp, fbmap,
                  *, sample_rate: int, n_channels: int, dtype=jnp.float32):
     """Quantized batch -> requantized natural-order spectra (B, F, 1024).
 
     spec_q4 (B, F, EXT/2) int8, two signed nibbles per byte (low nibble
     = even coefficient), trimmed to the batch's coded-band extent;
-    coefficients outside [-7, 7] arrive sparsely as esc_row/esc_pos/
-    esc_val (flat-lane row int32, position int16, exact int16 value —
+    coefficients outside [-7, 7] arrive sparsely as esc_idx/esc_val
+    (flat coefficient index row*1024 + pos int32, exact int16 value —
     the nibble holds 0 there, so a scatter-ADD reconstructs them;
-    padding entries add 0 at (0, 0)); meta (B, F, 64) uint16 =
-    (lvl + 2048) | btype << 12 | ms_used << 15; fb16/fbexp the
+    padding entries add 0 at index 0); meta (B, F, n_bands(sr)) uint16
+    = (lvl + 2048) | btype << 12 | ms_used << 15; fb16/fbexp the
     compacted fallback rows; fbmap (B*F,) row-gather map (identity, or
     B*F + j for fallback lanes).
     """
@@ -97,11 +109,11 @@ def prep_spectra(spec_q4, meta, esc_row, esc_pos, esc_val,
     q = jnp.stack([lo, hi], axis=-1).reshape(rows, ext)
     if ext < 1024:
         q = jnp.pad(q, ((0, 0), (0, 1024 - ext)))
-    q = q.at[esc_row, esc_pos.astype(jnp.int32)].add(
+    q = q.at[esc_idx >> 10, esc_idx & 1023].add(
         esc_val.astype(jnp.float32)
     )
 
-    m = meta.astype(jnp.int32).reshape(rows, N_BANDS)
+    m = meta.astype(jnp.int32).reshape(rows, n_bands(sample_rate))
     btype = (m >> 12) & 7
     msb = ((m >> 15) & 1).astype(jnp.float32)
     lvlf = (m & 0xFFF).astype(jnp.float32) - 2048.0
@@ -128,9 +140,10 @@ def prep_spectra(spec_q4, meta, esc_row, esc_pos, esc_val,
         # bands that are not noise get l,r = l+r, l-r.
         t = fl // 2
         sp = spec.reshape(bsz, t, 2, 1024)
-        bt_r = btype.reshape(bsz, t, 2, N_BANDS)[:, :, 1]
-        ms_r = msb.reshape(bsz, t, 2, N_BANDS)[:, :, 1]
-        isp_r = lvlf.reshape(bsz, t, 2, N_BANDS)[:, :, 1]
+        nb = n_bands(sample_rate)
+        bt_r = btype.reshape(bsz, t, 2, nb)[:, :, 1]
+        ms_r = msb.reshape(bsz, t, 2, nb)[:, :, 1]
+        isp_r = lvlf.reshape(bsz, t, 2, nb)[:, :, 1]
         l = sp[:, :, 0]
         rr = sp[:, :, 1]
 

@@ -28,7 +28,7 @@ def _prep(data):
     nch = uq.n_channels or 1
     args = aac.prepare_batch_arrays_aac_q([uq], nch)
     spec = aac_prep.prep_spectra(
-        *args[:8], sample_rate=uq.sample_rate, n_channels=nch
+        *args[:7], sample_rate=uq.sample_rate, n_channels=nch
     )
     n = (uq.n // nch) * nch
     return np.asarray(spec)[0, :n], uq
