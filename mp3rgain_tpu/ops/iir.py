@@ -2,21 +2,28 @@
 
 The reference filters one sample at a time in float64
 (/root/reference/src/replaygain.rs:586-616). On TPU the recurrence is
-restructured exactly (no approximation) into MXU-friendly pieces:
+restructured exactly (no approximation) into MXU-friendly pieces.
 
-  1. 11-tap FIR (Yule numerator) + the 1e-10 denormal constant,
-  2. five pure-AR(2) sections (the factored Yule denominator),
-  3. 3-tap FIR (Butterworth numerator) + 1e-10,
-  4. one pure-AR(2) section (Butterworth denominator).
+Default path (MP3RGAIN_IIR_GROUP=1, gated by _group_ok conditioning):
+the WHOLE 10th-order Yule stage as one blocked direct-form solve —
+an (L, L+10) composite FIR∘AR-Toeplitz matmul per 128-sample block
+(_group_apply) — followed by the 2nd-order Butterworth the same way.
+Rates whose direct-form blocked operators grow too large (64k/96k;
+88.2 kHz is degenerate in the reference's own table) fall back to the
+factored biquad cascade (plan.sos), each biquad applied with the same
+blocked machinery at P=2.
 
-Each AR(2) section runs blockwise: the zero-state response inside a block
-of L samples is a lower-triangular Toeplitz matmul (MXU), the 2-value
-block carry composes with jax.lax.associative_scan, and the homogeneous
-correction re-injects block-initial state — mathematically exact, fully
-parallel over time and batch.
+Block carries s_n = M s_{n-1} + v_n resolve by a two-level affine
+prefix (_affine_prefix): level 1 is an (l2·P)² lower-triangular
+Toeplitz matmul over superblocks of l2 carries; level 2 composes the
+nb2 superblock carries either with one dense block-Toeplitz matmul
+(short tracks) or a lax.associative_scan over (M^l2, carry) affine
+pairs (long tracks, where the dense operator's (nb2·P)² footprint
+would grow quadratically with duration).
 
 An exact per-sample lax.scan implementation (direct-form I, the
-reference's formulation) is provided as a validation oracle.
+reference's formulation) is provided as a validation oracle
+(equal_loudness_scan).
 """
 
 from __future__ import annotations
@@ -73,26 +80,32 @@ def _arP_kernels(a_tail: tuple, block: int):
     return th, g, m
 
 
-def _ar2_kernels(a1: float, a2: float, block: int):
-    """Back-compat P=2 view: (T_h, g1, g2, M)."""
-    th, g, m = _arP_kernels((a1, a2), block)
-    return th, g[:, 0], g[:, 1], m
+# Level-2 dense cross-superblock operator cap: below this many
+# superblocks the whole level-2 solve is ONE (nb2*P)² matmul against a
+# baked constant (~16 MB float32 at the cap for P=10); above it — long
+# tracks, where the dense operator grows quadratically with duration
+# (ADVICE r3: ~520 MB float64 host + ~260 MB baked constant for a
+# 5-minute track) — level 2 switches to an associative scan over
+# (M^l2, carry) affine pairs, whose footprint is linear in duration.
+# The cap also bounds the lru_cache population: n_blocks only keys the
+# dense variant, and only up to the cap.
+NB2_DENSE_MAX = 204
 
 
 @lru_cache(maxsize=None)
-def _prefix_kernels(a_tail: tuple, block: int, n_blocks: int, l2: int):
+def _prefix_kernels(a_tail: tuple, block: int, nb2: int | None, l2: int):
     """Constants for the two-level affine-prefix solve of
-    s_n = M s_{n-1} + v_n over n_blocks first-level carries, P-dim state.
+    s_n = M s_{n-1} + v_n over first-level carries, P-dim state.
 
     Returns (T2 (l2*P, l2*P) local prefix operator, T3 (nb2*P, nb2*P)
-    strict-lower cross-superblock operator, Pw (l2, P, P) powers M^(t+1)),
-    where nb2 = ceil(n_blocks / l2)."""
+    strict-lower cross-superblock operator or None when nb2 is None —
+    the scan path needs only M^l2, Pw (l2, P, P) powers M^(t+1),
+    Ml2 (P, P))."""
     _, _, m = _arP_kernels(a_tail, block)
     P = m.shape[0]
-    nb2 = -(-n_blocks // l2)
 
     powers = [np.eye(P)]
-    for _ in range(max(l2, nb2) + 1):
+    for _ in range(l2 + 1):
         powers.append(m @ powers[-1])
 
     t2 = np.zeros((l2, l2, P, P))
@@ -100,31 +113,37 @@ def _prefix_kernels(a_tail: tuple, block: int, n_blocks: int, l2: int):
         for s in range(t + 1):
             t2[t, s] = powers[t - s]
     ml2 = powers[l2]
-    ml2_pow = [np.eye(P)]
-    for _ in range(nb2):
-        ml2_pow.append(ml2 @ ml2_pow[-1])
-    t3 = np.zeros((nb2, nb2, P, P))
-    for t in range(nb2):
-        for s in range(t):
-            t3[t, s] = ml2_pow[t - 1 - s]
     p = np.stack(powers[1 : l2 + 1])
     # einsum-free layout: out[(t,i)] = sum_{(s,j)} T[(t,i),(s,j)] v[(s,j)]
     t2m = t2.transpose(0, 2, 1, 3).reshape(l2 * P, l2 * P)
-    t3m = t3.transpose(0, 2, 1, 3).reshape(nb2 * P, nb2 * P)
-    return t2m, t3m, p
+
+    t3m = None
+    if nb2 is not None:
+        ml2_pow = [np.eye(P)]
+        for _ in range(nb2):
+            ml2_pow.append(ml2 @ ml2_pow[-1])
+        t3 = np.zeros((nb2, nb2, P, P))
+        for t in range(nb2):
+            for s in range(t):
+                t3[t, s] = ml2_pow[t - 1 - s]
+        t3m = t3.transpose(0, 2, 1, 3).reshape(nb2 * P, nb2 * P)
+    return t2m, t3m, p, ml2
 
 
 def _affine_prefix(v, a_tail: tuple, block: int, l2: int = 128):
     """s_n = M s_{n-1} + v_n (s_{-1} = 0) for v (B, N, P), fully parallel:
-    two levels of lower-triangular Toeplitz matmuls instead of an
-    associative scan (whose tree lowering serializes into ~2*log2(N)
-    tiny kernels on TPU)."""
+    a lower-triangular Toeplitz matmul over each superblock of l2
+    carries, then the cross-superblock solve — dense matmul for short
+    tracks, associative scan of (M^l2, carry) affine pairs for long
+    ones (NB2_DENSE_MAX)."""
     b, n, P = v.shape
     nb2 = -(-n // l2)
-    t2m, t3m, p = _prefix_kernels(a_tail, block, n, l2)
+    dense = nb2 <= NB2_DENSE_MAX
+    t2m, t3m, p, ml2 = _prefix_kernels(
+        a_tail, block, nb2 if dense else None, l2
+    )
     dtype = v.dtype
     t2m = jnp.asarray(t2m, dtype)
-    t3m = jnp.asarray(t3m, dtype)
     p = jnp.asarray(p, dtype)
 
     vp = jnp.pad(v, ((0, 0), (0, nb2 * l2 - n), (0, 0)))
@@ -133,11 +152,32 @@ def _affine_prefix(v, a_tail: tuple, block: int, l2: int = 128):
         "ts,bns->bnt", t2m, vb, preferred_element_type=dtype
     ).reshape(b, nb2, l2, P)
     carries = local[:, :, -1, :]  # (B, nb2, P)
-    s_prev = jnp.einsum(
-        "ts,bs->bt", t3m, carries.reshape(b, nb2 * P),
-        preferred_element_type=dtype,
-    ).reshape(b, nb2, P)
-    cross = jnp.einsum("bmj,tij->bmti", s_prev, p, preferred_element_type=dtype)
+    if dense:
+        s_end = jnp.einsum(
+            "ts,bs->bt", jnp.asarray(t3m, dtype),
+            carries.reshape(b, nb2 * P), preferred_element_type=dtype,
+        ).reshape(b, nb2, P)
+    else:
+        # s2_m = Ml2 s2_{m-1} + c_m as an associative scan of affine
+        # pairs; Ml2 is constant so the A-products are its powers (tiny
+        # for the stable filters that reach here). s_prev for
+        # superblock m is s2_{m-1}.
+        ml2d = jnp.broadcast_to(jnp.asarray(ml2, dtype), (b, nb2, P, P))
+
+        def combine(lhs, rhs):
+            a1, b1 = lhs
+            a2, b2 = rhs
+            return (
+                jnp.einsum("...ij,...jk->...ik", a2, a1,
+                           preferred_element_type=dtype),
+                jnp.einsum("...ij,...j->...i", a2, b1,
+                           preferred_element_type=dtype) + b2,
+            )
+
+        _, s2 = jax.lax.associative_scan(combine, (ml2d, carries), axis=1)
+        s_end = jnp.roll(s2, 1, axis=1).at[:, 0].set(0.0)
+    cross = jnp.einsum("bmj,tij->bmti", s_end, p,
+                       preferred_element_type=dtype)
     s = (local + cross).reshape(b, nb2 * l2, P)
     return s[:, :n]
 
@@ -204,12 +244,6 @@ def _biquad_apply(x, section, block: int):
     return _group_apply(x, (b0, b1, b2), (a1, a2), block)
 
 
-def _ar2_apply(f, a1: float, a2: float, block: int):
-    """Apply y_t = f_t - a1 y_{t-1} - a2 y_{t-2} along the last axis of
-    (B, T) exactly, blockwise."""
-    return _group_apply(f, (1.0,), (float(a1), float(a2)), block)
-
-
 @lru_cache(maxsize=None)
 def _group_ok(sample_rate: int, block: int) -> bool:
     """True when the direct-form 10th-order Yule blocked operators are
@@ -222,19 +256,6 @@ def _group_ok(sample_rate: int, block: int) -> bool:
     th, g, m = _arP_kernels(a_tail, block)
     bound = max(np.max(np.abs(th)), np.max(np.abs(g)))
     return bool(np.isfinite(bound) and bound <= 128.0)
-
-
-def _fir(x, taps):
-    """Causal FIR along the last axis of (B, T): shifted-slice adds (which
-    XLA fuses into one elementwise pass; a rank-1-feature conv gets a
-    degenerate T(1,128) layout on TPU)."""
-    n = len(taps)
-    xp = jnp.pad(x, ((0, 0), (n - 1, 0)))
-    t = x.shape[1]
-    out = taps[0] * x
-    for i in range(1, n):
-        out = out + taps[i] * jax.lax.slice_in_dim(xp, n - 1 - i, n - 1 - i + t, axis=1)
-    return out
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "block"))

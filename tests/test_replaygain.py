@@ -139,3 +139,53 @@ def test_public_api(fixtures_dir):
     assert peak.peak_pcm == pytest.approx(peak.peak * 32768.0)
     with pytest.raises(Exception):
         replaygain.analyze_track_with_index(fixtures_dir / "test_mono.mp3", 3)
+
+
+def test_affine_prefix_long_track_scan_level2():
+    """The level-2 cross-superblock solve switches from the dense
+    block-Toeplitz matmul to an associative scan past NB2_DENSE_MAX
+    superblocks (ADVICE r3: the dense operator grew quadratically with
+    track length). Both paths must match the plain recurrence."""
+    rng = np.random.default_rng(7)
+    a_tail = (-1.6, 0.68)  # stable AR(2)
+    block, l2 = 128, 128
+    n = iir.NB2_DENSE_MAX * l2 + 513  # forces the scan path
+    v = rng.standard_normal((1, n, 2)).astype(np.float64)
+
+    out = np.asarray(iir._affine_prefix(jnp.asarray(v), a_tail, block, l2))
+
+    _, _, m = iir._arP_kernels(a_tail, block)
+    s = np.zeros(2)
+    ref = np.empty((n, 2))
+    for t in range(n):
+        s = m @ s + v[0, t]
+        ref[t] = s
+    np.testing.assert_allclose(out[0], ref, rtol=1e-9, atol=1e-9)
+
+    # Dense level 2 on a prefix agrees with the scan level 2 bit-close.
+    n_short = 4 * l2 + 37
+    out_short = np.asarray(
+        iir._affine_prefix(jnp.asarray(v[:, :n_short]), a_tail, block, l2)
+    )
+    np.testing.assert_allclose(out_short[0], ref[:n_short], rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_equal_loudness_long_track_paths_agree():
+    """A track long enough to cross the level-2 scan threshold still
+    filters correctly (energy matches the exact per-sample oracle) —
+    and without materializing the quadratic dense level-2 operator."""
+    sr = 44100
+    samples = (iir.NB2_DENSE_MAX * 128 + 7) * 128 + 3000
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((1, samples)) * 0.2 * 32768.0).astype(
+        np.float32
+    )
+    grouped = np.asarray(iir._equal_loudness_jit(jnp.asarray(x), sr, 128))
+    # Compare mean-square energy against the exact oracle on a slice
+    # (the full oracle scan is too slow for CI at this length).
+    head = 1 << 15
+    ref = np.asarray(iir.equal_loudness_scan(jnp.asarray(x[:, :head]), sr))
+    ms_ref = (ref**2).mean()
+    ms_fast = (grouped[:, :head].astype(np.float64) ** 2).mean()
+    assert abs(ms_fast - ms_ref) / ms_ref < 2e-3
