@@ -176,9 +176,13 @@ _ESC_LADDER = tuple([512, 2048, 8192, 32768]
                     + [131072 * k for k in range(1, 129)])
 
 
-def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
+def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int,
+                               force_shapes: tuple | None = None):
     """Pad device-requant AAC tracks into ladder-quantized batch arrays
-    for _batch_fn_q. Returns the positional device-arg tuple."""
+    for _batch_fn_q. Returns the positional device-arg tuple.
+    force_shapes = (bpad, f_max, ext, ecap, fbp) pins every static
+    shape so independently prepared shards stack into one sharded
+    executable (prepare_batch_arrays_aac_q_sharded)."""
     from .decode import aac_frontend as af
     from .decode.aac_format_tables import SWB_1024_MAP, SWB_LONG_TABLES
     from .parallel.runner import _B_LADDER, _quantize_up
@@ -205,6 +209,12 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
         if len(nz):
             kmax = max(kmax, int(nz[-1]) + 1)
     ext = min(1024, max(128, -(-swb[min(kmax, len(swb) - 1)] // 128) * 128))
+
+    force_ecap = force_fbp = None
+    if force_shapes is not None:
+        f_bpad, f_fmax, f_ext, force_ecap, force_fbp = force_shapes
+        assert f_bpad >= bsz and f_fmax >= f_max and f_ext >= ext
+        bpad, f_max, ext = f_bpad, f_fmax, f_ext
 
     # The spectrum buffer dominates the payload: two signed 4-bit
     # coefficients per byte, with every |q| > 7 routed to the sparse
@@ -279,6 +289,9 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
     n_esc = sum(len(e) for e in esc_idxs)
     ecap = next((e for e in _ESC_LADDER if e >= max(n_esc, 1)),
                 max(n_esc, 1))
+    if force_ecap is not None:
+        assert force_ecap >= n_esc
+        ecap = force_ecap
     esc_idx = np.zeros(ecap, idx_dt)  # padding adds 0 at index 0
     esc_val = np.zeros(ecap, np.int16)
     if n_esc:
@@ -287,6 +300,9 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
 
     fbp = next((f for f in _FB_LADDER if f >= max(len(fb_rows), 1)),
                max(len(fb_rows), 1))
+    if force_fbp is not None:
+        assert force_fbp >= len(fb_rows)
+        fbp = force_fbp
     fb16 = np.zeros((fbp, 1024), np.uint16)
     fbexp = np.zeros(fbp, np.int8)
     if fb_rows:
@@ -294,6 +310,121 @@ def prepare_batch_arrays_aac_q(unpacked: list, n_channels: int):
         fbexp[: len(fb_rows)] = np.array(fb_exps, np.int8)
     return (spec_q4, meta, esc_idx, esc_val,
             fb16.view(np.float16), fbexp, fbmap, wseq, wshape, valid)
+
+
+def prepare_batch_arrays_aac_q_sharded(unpacked: list, n_channels: int,
+                                       n_shards: int):
+    """Round-robin shard AAC tracks and prepare every shard with
+    IDENTICAL static shapes, ready to stack on a leading device axis
+    for shard_map dispatch (mirrors parallel.runner.
+    prepare_batch_arrays_light_sharded). Returns (args tuple of
+    (D, ...) arrays, shard_index)."""
+    order = sorted(range(len(unpacked)), key=lambda i: unpacked[i].n,
+                   reverse=True)
+    shard_index = [order[d::n_shards] for d in range(n_shards)]
+    assert all(shard_index), "need at least one track per shard"
+    shards = [[unpacked[i] for i in idxs] for idxs in shard_index]
+
+    first = [prepare_batch_arrays_aac_q(s, n_channels) for s in shards]
+    # args layout: spec_q4, meta, esc_idx, esc_val, fb16, fbexp, fbmap,
+    # wseq, wshape, valid
+    bpad = max(r[0].shape[0] for r in first)
+    f_max = max(r[0].shape[1] for r in first)
+    ext = max(r[0].shape[2] * 2 for r in first)
+    ecap = max(r[2].shape[0] for r in first)
+    fbp = max(r[4].shape[0] for r in first)
+    shapes = (bpad, f_max, ext, ecap, fbp)
+    results = []
+    for s, r in zip(shards, first):
+        if (r[0].shape != (bpad, f_max, ext // 2)
+                or r[2].shape[0] != ecap or r[4].shape[0] != fbp):
+            r = prepare_batch_arrays_aac_q(s, n_channels,
+                                           force_shapes=shapes)
+        results.append(r)
+    args = tuple(np.stack([r[j] for r in results])
+                 for j in range(len(results[0])))
+    return args, shard_index
+
+
+def analyze_batch_q_sharded(unpacked: list, sample_rate: int,
+                            n_channels: int, mesh=None, dtype=jnp.float32):
+    """Device-requant AAC batch analysis over a data-parallel device
+    mesh: each device runs the full spectral-prep + IMDCT + DSP pipeline
+    on its shard via shard_map (the MP3 light path's
+    dispatch_light_sharded pattern). Falls back to the single-device
+    path when the mesh has one device or fewer tracks than devices."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, axis_names=("dp",))
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n_dev == 1 or len(unpacked) < n_dev:
+        return analyze_batch_q(unpacked, sample_rate, n_channels,
+                               dtype=dtype)
+
+    bsz = len(unpacked)
+    args, shard_index = prepare_batch_arrays_aac_q_sharded(
+        unpacked, n_channels, n_dev
+    )
+    sharding = NamedSharding(mesh, P("dp"))
+    dev_args = [jax.device_put(a, sharding) for a in args]
+    run = _batch_fn_q_sharded(mesh, n_channels, sample_rate, dtype)
+    hist, loud_idx, peak = run(*dev_args)  # (D, B, ...)
+
+    d_idx = np.empty(bsz, np.int32)
+    j_idx = np.empty(bsz, np.int32)
+    for d, idxs in enumerate(shard_index):
+        for j, i in enumerate(idxs):
+            d_idx[i] = d
+            j_idx[i] = j
+    hist = hist[d_idx, j_idx]
+    loud_idx = loud_idx[d_idx, j_idx]
+    peak = peak[d_idx, j_idx]
+    stats = np.asarray(
+        jnp.concatenate(
+            [loud_idx.astype(jnp.float32), peak.astype(jnp.float32)]
+        )
+    )
+    louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
+    return hist, louds, stats[bsz:]
+
+
+@lru_cache(maxsize=None)
+def _batch_fn_q_sharded(mesh, n_channels: int, sample_rate: int, dtype):
+    from jax.sharding import PartitionSpec as P
+
+    from .decode import aac_prep
+
+    interpret = jax.default_backend() != "tpu"
+    del interpret  # prep_spectra is pure XLA — no Pallas to interpret
+
+    def core(*a):
+        spec = aac_prep.prep_spectra(
+            *a[:7], sample_rate=sample_rate, n_channels=n_channels,
+            dtype=dtype,
+        )
+        return _analysis_tail(
+            spec, a[7].astype(jnp.int32), a[8].astype(jnp.int32), a[9],
+            n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+        )
+
+    spec = P("dp")
+
+    @jax.jit
+    def run(*args):
+        def shard(*a):
+            h, li, pk = core(*(x[0] for x in a))
+            return h[None], li[None], pk[None]
+
+        return jax.shard_map(
+            shard, mesh=mesh,
+            in_specs=tuple(spec for _ in args),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )(*args)
+
+    return run
 
 
 def analyze_batch_q(unpacked: list, sample_rate: int, n_channels: int,

@@ -239,6 +239,8 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
     manifest checkpoint after every collected batch."""
     from concurrent.futures import ThreadPoolExecutor
 
+    import jax
+
     from . import aac
     from .decode import aac_frontend as af
 
@@ -248,7 +250,14 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
     # host skips requantize/PNS/stereo/TNS and ships quantized
     # coefficients (aac.use_device_prep / decode/aac_prep.py).
     device_prep = aac.use_device_prep()
-    batch_fn = aac.analyze_batch_q if device_prep else aac.analyze_batch
+    if device_prep and jax.device_count() > 1:
+        # Data-parallel mesh: shard tracks over devices (shard_map),
+        # same pattern as the MP3 light path's dispatch_light_sharded.
+        batch_fn = aac.analyze_batch_q_sharded
+    elif device_prep:
+        batch_fn = aac.analyze_batch_q
+    else:
+        batch_fn = aac.analyze_batch
 
     def _unpack_one(p):
         try:

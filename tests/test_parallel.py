@@ -153,3 +153,28 @@ def test_graft_entry_points():
     assert loud.shape == (4,)
     m.dryrun_multichip(8)
     m.dryrun_multichip(4)
+
+
+def test_sharded_aac_path_matches_single():
+    """The AAC device-prep pipeline sharded over the dp mesh
+    (aac.analyze_batch_q_sharded) must match the single-device batch."""
+    if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+
+    from mp3rgain_tpu import aac
+    from mp3rgain_tpu.decode import aac_frontend as af
+    from mp3rgain_tpu.testing import craft_aac
+
+    adts = craft_aac.craft_sce_stream(
+        6, global_gain=150,
+        band_quads=[(1, 0, -1, 0), (0, 1, 0, 0), (-1, -1, 1, 0),
+                    (1, 1, 1, 1)],
+    )
+    uq = af.unpack_adts_q(adts)
+    ups = [uq] * 8
+    sr, nch = uq.sample_rate, (uq.n_channels or 1)
+    h1, l1, p1 = aac.analyze_batch_q(ups, sr, nch)
+    hs, ls, ps = aac.analyze_batch_q_sharded(ups, sr, nch)
+    assert np.array_equal(np.asarray(h1), np.asarray(hs))
+    np.testing.assert_allclose(l1, ls)
+    np.testing.assert_allclose(p1, ps, rtol=1e-6)

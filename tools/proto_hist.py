@@ -79,9 +79,20 @@ def main():
         f = f + bump.astype(f.dtype)
         bin_idx, ok = winsum_core(f, valid_len)
         bc = jnp.where(ok, bin_idx, 12000)
-        oh = (bc[:, :, None] == jnp.arange(12000)[None, None, :])
-        hist = oh.astype(jnp.int8).sum(axis=1, dtype=jnp.int32)
-        return jnp.sum(hist * jnp.arange(12000, dtype=jnp.int32)[None, :])
+        # Chunk over the window axis: a single (B, n_win, 12000) bool
+        # comparison intermediate is ~0.9 GB at B=64/60 s and can OOM
+        # the device (and skew the probe).
+        bins = jnp.arange(12000, dtype=jnp.int32)
+        chunk = 512
+        n = bc.shape[1]
+        hist = jnp.zeros((bc.shape[0], 12000), jnp.int32)
+        for s in range(0, n, chunk):
+            part = bc[:, s : s + chunk]
+            hist = hist + (
+                (part[:, :, None] == bins[None, None, :])
+                .astype(jnp.int8).sum(axis=1, dtype=jnp.int32)
+            )
+        return jnp.sum(hist * bins[None, :])
 
     for name, fn in [("winsum", winsum), ("scatter", scatter),
                      ("sortsel", sortsel), ("onehot", onehot)]:
