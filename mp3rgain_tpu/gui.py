@@ -11,7 +11,12 @@ module reproduces that functionality as:
   peak * 10^(gain/20) > 1 (app.rs:242-245), apply/undo), fully headless
   and unit-tested;
 - a curses terminal front-end (no desktop toolkit in this environment)
-  with the same table columns and actions.
+  with the same table columns and actions, a menu bar mirroring the
+  reference's File/Analysis/Modify Gain/Options/Help structure
+  (mp3rgui/src/ui/menu.rs), and a bottom status panel with dual
+  File/Total progress bars + file count + status message
+  (mp3rgui/src/ui/status.rs). Where the reference leaves TODOs
+  (constant gain, undo from the menu), the menu items here are wired.
 
 Run: mp3rgui [files...]  (or python -m mp3rgain_tpu.gui)
 """
@@ -54,7 +59,9 @@ class AppState:
     files: list[FileEntry] = field(default_factory=list)
     target_db: float = REPLAYGAIN_REFERENCE_DB  # 75..100 slider in the reference
     status_message: str = ""
-    progress: float = 0.0
+    progress: float = 0.0  # "Total" bar (reference total_progress)
+    file_progress: float = 0.0  # "File" bar (reference file_progress)
+    current_file: str = ""  # name shown next to the File bar
     # Last batch ScanResult + the path set it covered: analyze_tracks
     # followed by analyze_album must not decode the library twice.
     _last_scan: object = field(default=None, repr=False)
@@ -75,11 +82,20 @@ class AppState:
             added += 1
         return added
 
-    def add_folder(self, folder) -> int:
+    def add_folder(self, folder, recursive: bool = True) -> int:
+        """Add a folder's audio files; the reference menu offers both
+        flat and recursive variants (menu.rs "Add Folder..." /
+        "Add Folder (with subfolders)...")."""
         paths = []
-        for root, _, names in os.walk(folder):
-            for n in sorted(names):
-                paths.append(Path(root) / n)
+        if recursive:
+            for root, _, names in os.walk(folder):
+                for n in sorted(names):
+                    paths.append(Path(root) / n)
+        else:
+            try:
+                paths = [Path(folder) / n for n in sorted(os.listdir(folder))]
+            except OSError:
+                return 0
         return self.add_files(paths)
 
     def remove_selected(self, indices) -> None:
@@ -111,10 +127,13 @@ class AppState:
         # per-file loop keeps per-row progress snappy.
         from .scan import BATCH_THRESHOLD
 
+        self.progress = self.file_progress = 0.0
         if len(self.files) >= BATCH_THRESHOLD:
             self._analyze_batch(album=False, progress_cb=progress_cb)
             return
         for i, entry in enumerate(self.files):
+            self.current_file = entry.name
+            self.file_progress = 0.0
             try:
                 res = replaygain.analyze_track(entry.path)
                 entry.volume_db = REPLAYGAIN_REFERENCE_DB - res.gain_db
@@ -126,6 +145,7 @@ class AppState:
                 entry.status = "error"
                 entry.error = str(e)
             self._update_clipping(entry)
+            self.file_progress = 1.0
             self.progress = (i + 1) / max(len(self.files), 1)
             if progress_cb:
                 progress_cb(self.progress, entry)
@@ -136,6 +156,7 @@ class AppState:
             return
         from .scan import BATCH_THRESHOLD
 
+        self.progress = self.file_progress = 0.0
         if len(paths) >= BATCH_THRESHOLD:
             self._analyze_batch(album=True, progress_cb=progress_cb)
             return
@@ -176,9 +197,12 @@ class AppState:
 
             def _on_file(path):
                 done[0] += 1
+                entry = by_path.get(str(path))
+                self.current_file = entry.name if entry else ""
+                self.file_progress = 1.0
                 self.progress = done[0] / max(len(paths), 1)
                 if progress_cb:
-                    progress_cb(self.progress, by_path.get(str(path)))
+                    progress_cb(self.progress, entry)
 
             scan = scan_files(paths, progress_cb=_on_file)
             self._last_scan = scan
@@ -237,6 +261,30 @@ class AppState:
                 progress_cb(self.progress, entry)
         return applied
 
+    def apply_constant_gain(self, gain_db: float, progress_cb=None) -> int:
+        """Apply a fixed dB gain to every MP3 in the list (the reference
+        menu's "Apply Constant Gain..." — a TODO there, menu.rs:78-81;
+        wired here via the same surgery as the CLI's -g)."""
+        self._last_scan = None
+        steps = db_to_steps(gain_db)
+        applied = 0
+        for i, entry in enumerate(self.files):
+            if entry.path.suffix.lower() != ".mp3":
+                continue
+            try:
+                if steps != 0:
+                    apply_gain_with_undo(entry.path, steps)
+                entry.status = "applied"
+                entry.error = None
+                applied += 1
+            except Exception as e:
+                entry.status = "error"
+                entry.error = str(e)
+            self.progress = (i + 1) / max(len(self.files), 1)
+            if progress_cb:
+                progress_cb(self.progress, entry)
+        return applied
+
     def undo_all(self) -> int:
         self._last_scan = None
         count = 0
@@ -277,8 +325,8 @@ class AppState:
 # -----------------------------------------------------------------------------
 
 _HELP = (
-    "a:analyze tracks  A:analyze album  g:apply track  G:apply album  "
-    "u:undo  +/-:target  d:remove  q:quit"
+    "m:menu  a:analyze tracks  A:analyze album  g:apply track  "
+    "G:apply album  u:undo  +/-:target  d:remove  q:quit"
 )
 
 
@@ -286,7 +334,178 @@ _HELP = (
 # drivable by tests with a fake screen (no TTY required).
 KEY_UP = -10
 KEY_DOWN = -11
+KEY_LEFT = -12
+KEY_RIGHT = -13
+KEY_ENTER = 10
 A_BOLD, A_UNDERLINE, A_REVERSE = 1, 2, 4
+
+# Menu bar mirroring the reference's five menus (mp3rgui/src/ui/menu.rs:
+# file_menu/analysis_menu/modify_menu/options_menu/help_menu). Each item
+# maps to an action tag handled by _run_menu_action.
+MENUS = (
+    ("File", (
+        ("Add Files...", "add_files"),
+        ("Add Folder...", "add_folder"),
+        ("Add Folder (with subfolders)...", "add_folder_rec"),
+        ("Clear File List", "clear"),
+        ("Exit", "exit"),
+    )),
+    ("Analysis", (
+        ("Track Analysis", "analyze_tracks"),
+        ("Album Analysis", "analyze_album"),
+    )),
+    ("Modify Gain", (
+        ("Apply Track Gain", "apply_track"),
+        ("Apply Album Gain", "apply_album"),
+        ("Apply Constant Gain...", "apply_const"),
+        ("Undo Gain Changes", "undo"),
+    )),
+    ("Options", (
+        ("Target Volume +0.5 dB", "target_up"),
+        ("Target Volume -0.5 dB", "target_down"),
+        ("Reset Target Volume (89.0 dB)", "target_reset"),
+    )),
+    ("Help", (
+        ("About mp3rgui", "about"),
+        ("Key Bindings", "keys"),
+    )),
+)
+
+
+def _bar(frac: float, width: int) -> str:
+    frac = min(max(frac, 0.0), 1.0)
+    return ("#" * round(frac * width)).ljust(width)
+
+
+def _render_menubar(state: AppState, scr, w: int, menu) -> None:
+    x = 1
+    for mi, (title, _) in enumerate(MENUS):
+        attr = A_REVERSE if menu is not None and menu[0] == mi else A_BOLD
+        scr.addnstr(0, x, title, max(w - 1 - x, 1), attr)
+        x += len(title) + 2
+    target = f"Target: {state.target_db:.1f} dB"
+    if x + len(target) < w:
+        scr.addnstr(0, w - 1 - len(target), target, len(target), A_BOLD)
+
+
+def _render_dropdown(scr, w: int, menu) -> None:
+    mi, ii = menu
+    x = 1 + sum(len(t) + 2 for t, _ in MENUS[:mi])
+    for j, (label, _) in enumerate(MENUS[mi][1]):
+        attr = A_REVERSE if j == ii else A_BOLD
+        scr.addnstr(1 + j, x, f" {label} ", max(w - 1 - x, 1), attr)
+
+
+def _render_status(state: AppState, scr) -> None:
+    """Bottom status panel (reference mp3rgui/src/ui/status.rs): dual
+    File/Total progress bars, then file count + status message."""
+    h, w = scr.getmaxyx()
+    fname = state.current_file[:20]
+    line = (f"File: [{_bar(state.file_progress, 12)}] "
+            f"{int(state.file_progress * 100):3d}%  "
+            f"Total: [{_bar(state.progress, 12)}] "
+            f"{int(state.progress * 100):3d}%"
+            + (f"  {fname}" if fname else ""))
+    scr.addnstr(h - 2, 0, line, w - 1)
+    n = len(state.files)
+    count = "No files loaded" if n == 0 else ("1 file" if n == 1 else f"{n} files")
+    msg = count + (f" | {state.status_message}" if state.status_message else "")
+    scr.addnstr(h - 1, 0, msg, w - 1)
+
+
+def _prompt(state: AppState, scr, label: str) -> str | None:
+    """Modal line editor on the status row (stands in for the
+    reference's rfd file dialogs, which need a desktop). Enter accepts,
+    Esc cancels, backspace edits."""
+    buf = ""
+    while True:
+        h, w = scr.getmaxyx()
+        scr.addnstr(h - 2, 0, (label + buf + "_").ljust(w - 1)[: w - 1],
+                    w - 1, A_BOLD)
+        scr.refresh()
+        c = scr.getch()
+        if c in (10, 13):
+            return buf
+        if c == 27:
+            return None
+        if c in (8, 127, 263):  # BS / DEL / curses KEY_BACKSPACE
+            buf = buf[:-1]
+        elif 32 <= c < 127:
+            buf += chr(c)
+
+
+def _analyze_with_progress(state: AppState, scr, album: bool) -> None:
+    """Run analysis with the status panel live-updating per completed
+    file (the reference streams file/total progress during batch
+    analysis, status.rs:6-21)."""
+    def cb(frac, entry):
+        _render_status(state, scr)
+        scr.refresh()
+
+    state.status_message = "Analyzing album..." if album else "Analyzing tracks..."
+    if album:
+        state.analyze_album(progress_cb=cb)
+        state.status_message = "Album analysis done"
+    else:
+        state.analyze_tracks(progress_cb=cb)
+        state.status_message = "Track analysis done"
+
+
+def _run_menu_action(state: AppState, scr, action: str) -> str | None:
+    """Execute a menu item; returns "exit" to leave the UI loop."""
+    from . import __version__
+
+    if action == "exit":
+        return "exit"
+    if action == "add_files":
+        txt = _prompt(state, scr, "Add file path: ")
+        if txt:
+            n = state.add_files([Path(txt.strip())])
+            state.status_message = f"Added {n} file(s)"
+    elif action in ("add_folder", "add_folder_rec"):
+        txt = _prompt(state, scr, "Add folder path: ")
+        if txt:
+            n = state.add_folder(Path(txt.strip()),
+                                 recursive=action == "add_folder_rec")
+            state.status_message = f"Added {n} file(s)"
+    elif action == "clear":
+        state.clear()
+        state.status_message = "File list cleared"
+    elif action == "analyze_tracks":
+        _analyze_with_progress(state, scr, album=False)
+    elif action == "analyze_album":
+        _analyze_with_progress(state, scr, album=True)
+    elif action == "apply_track":
+        n = state.apply_gain(use_album=False)
+        state.status_message = f"Applied track gain to {n} file(s)"
+    elif action == "apply_album":
+        n = state.apply_gain(use_album=True)
+        state.status_message = f"Applied album gain to {n} file(s)"
+    elif action == "apply_const":
+        txt = _prompt(state, scr, "Constant gain (dB): ")
+        if txt:
+            try:
+                n = state.apply_constant_gain(float(txt.strip()))
+                state.status_message = f"Applied constant gain to {n} file(s)"
+            except ValueError:
+                state.status_message = f"Not a number: {txt.strip()}"
+    elif action == "undo":
+        n = state.undo_all()
+        state.status_message = f"Undid {n} file(s)"
+    elif action == "target_up":
+        state.target_db = min(100.0, state.target_db + 0.5)
+    elif action == "target_down":
+        state.target_db = max(75.0, state.target_db - 0.5)
+    elif action == "target_reset":
+        state.target_db = REPLAYGAIN_REFERENCE_DB
+    elif action == "about":
+        state.status_message = (
+            f"mp3rgui (TPU) {__version__} — lossless MP3/AAC volume "
+            f"adjustment, ReplayGain analysis on JAX"
+        )
+    elif action == "keys":
+        state.status_message = _HELP
+    return None
 
 
 def ui_loop(state: AppState, scr) -> None:
@@ -296,14 +515,22 @@ def ui_loop(state: AppState, scr) -> None:
     attr]), refresh(), getch() -> int. The real front-end passes a curses
     window (via _run_curses); tests pass a scripted fake. One full
     render + one key per iteration; returns when the user quits.
+
+    Layout (reference mp3rgui/src/ui/): row 0 menu bar + target
+    readout, row 1 title, row 2 key help, table from row 3, dropdown
+    overlays the table while a menu is open, and the bottom two rows
+    are the status panel (dual progress bars + file count/message).
+    'm' opens the menu bar; arrows navigate, Enter runs, Esc closes.
     """
     selected = 0
+    menu = None  # (menu_idx, item_idx) while a dropdown is open
     while True:
         scr.erase()
         h, w = scr.getmaxyx()
-        scr.addnstr(0, 0, f"mp3rgui (TPU) — target {state.target_db:.1f} dB "
+        _render_menubar(state, scr, w, menu)
+        scr.addnstr(1, 0, f"mp3rgui (TPU) — target {state.target_db:.1f} dB "
                           f"(each step = {GAIN_STEP_DB} dB)", w - 1, A_BOLD)
-        scr.addnstr(1, 0, _HELP, w - 1)
+        scr.addnstr(2, 0, _HELP, w - 1)
         header = f"{'file':30s} {'status':9s} {'vol':>6s} {'clip':4s} {'trk':>6s} {'alb':>6s} {'steps':>5s}"
         scr.addnstr(3, 0, header, w - 1, A_UNDERLINE)
         for i, row in enumerate(state.rows()):
@@ -312,24 +539,41 @@ def ui_loop(state: AppState, scr) -> None:
             line = (f"{row['file'][:30]:30s} {row['status']:9s} {row['volume']:>6s} "
                     f"{row['clip']:4s} {row['track_gain']:>6s} {row['album_gain']:>6s} "
                     f"{row['gain_steps']:>5s}")
-            attr = A_REVERSE if i == selected else 0
+            attr = A_REVERSE if i == selected and menu is None else 0
             scr.addnstr(4 + i, 0, line, w - 1, attr)
-        scr.addnstr(h - 1, 0, state.status_message[: w - 1], w - 1)
+        if menu is not None:
+            _render_dropdown(scr, w, menu)
+        _render_status(state, scr)
         scr.refresh()
 
         c = scr.getch()
+        if menu is not None:
+            mi, ii = menu
+            items = MENUS[mi][1]
+            if c in (27, ord("m"), ord("q")):
+                menu = None
+            elif c == KEY_LEFT:
+                menu = ((mi - 1) % len(MENUS), 0)
+            elif c == KEY_RIGHT:
+                menu = ((mi + 1) % len(MENUS), 0)
+            elif c == KEY_UP:
+                menu = (mi, max(0, ii - 1))
+            elif c == KEY_DOWN:
+                menu = (mi, min(len(items) - 1, ii + 1))
+            elif c in (10, 13):
+                menu = None
+                if _run_menu_action(state, scr, items[ii][1]) == "exit":
+                    break
+                selected = max(0, min(selected, len(state.files) - 1))
+            continue
         if c in (ord("q"), 27):
             break
+        elif c == ord("m"):
+            menu = (0, 0)
         elif c == ord("a"):
-            state.status_message = "Analyzing tracks..."
-            scr.refresh()
-            state.analyze_tracks()
-            state.status_message = "Track analysis done"
+            _analyze_with_progress(state, scr, album=False)
         elif c == ord("A"):
-            state.status_message = "Analyzing album..."
-            scr.refresh()
-            state.analyze_album()
-            state.status_message = "Album analysis done"
+            _analyze_with_progress(state, scr, album=True)
         elif c == ord("g"):
             n = state.apply_gain(use_album=False)
             state.status_message = f"Applied track gain to {n} file(s)"
@@ -382,6 +626,25 @@ class _CursesScreen:  # pragma: no cover - needs a real TTY
             return KEY_UP
         if c == self._curses.KEY_DOWN:
             return KEY_DOWN
+        if c == self._curses.KEY_LEFT:
+            return KEY_LEFT
+        if c == self._curses.KEY_RIGHT:
+            return KEY_RIGHT
+        if c == self._curses.KEY_ENTER:
+            return KEY_ENTER
+        if c == 27:
+            # Terminals whose terminfo lacks arrow-key capabilities
+            # deliver CSI sequences raw (ESC [ A..D); parse them here so
+            # menu navigation works everywhere. A lone ESC stays ESC.
+            self._win.nodelay(True)
+            try:
+                c2 = self._win.getch()
+                if c2 in (ord("["), ord("O")):
+                    c3 = self._win.getch()
+                    return {ord("A"): KEY_UP, ord("B"): KEY_DOWN,
+                            ord("C"): KEY_RIGHT, ord("D"): KEY_LEFT}.get(c3, 27)
+            finally:
+                self._win.nodelay(False)
         return c
 
 

@@ -247,3 +247,131 @@ def test_batch_analysis_isolates_bad_files(fixtures_dir, tmp_path):
     assert by_name["bad.mp3"].status == "error"
     good = [f for f in s.files if f.name != "bad.mp3"]
     assert all(f.status == "analyzed" for f in good)
+
+
+def test_menu_bar_renders_and_navigates(state):
+    """Menu bar parity with the reference (mp3rgui/src/ui/menu.rs):
+    'm' opens File, arrows move between menus/items, Esc closes."""
+    from mp3rgain_tpu import gui
+
+    scr = FakeScreen(["m", gui.KEY_RIGHT, gui.KEY_DOWN, 27, "q"])
+    gui.ui_loop(state, scr)
+    # Menu titles are always on row 0.
+    last = scr.frames[-1] if scr.frames else scr.cells
+    row0 = " ".join(c[2] for c in last if c[0] == 0)
+    for title in ("File", "Analysis", "Modify Gain", "Options", "Help"):
+        assert title in row0
+    # While Analysis was open, its dropdown items rendered.
+    all_text = "\n".join("\n".join(c[2] for c in f) for f in scr.frames)
+    assert "Track Analysis" in all_text and "Album Analysis" in all_text
+
+
+def test_menu_analysis_and_apply_actions(state):
+    """Analysis + Modify Gain menu items drive the same AppState paths
+    as the key bindings."""
+    from mp3rgain_tpu import gui
+
+    # m -> right (Analysis) -> Enter (Track Analysis) -> quit
+    scr = FakeScreen(["m", gui.KEY_RIGHT, 10, "q"])
+    gui.ui_loop(state, scr)
+    assert all(f.status == "analyzed" for f in state.files)
+    assert state.status_message == "Track analysis done"
+
+    originals = {f.path: f.path.read_bytes() for f in state.files}
+    # m -> right x2 (Modify Gain) -> Enter (Apply Track Gain) -> quit
+    scr = FakeScreen(["m", gui.KEY_RIGHT, gui.KEY_RIGHT, 10, "q"])
+    gui.ui_loop(state, scr)
+    assert state.status_message.startswith("Applied track gain")
+    assert all(f.status == "applied" for f in state.files)
+
+    # Modify Gain -> down x3 -> Undo Gain Changes
+    scr = FakeScreen(["m", gui.KEY_RIGHT, gui.KEY_RIGHT,
+                      gui.KEY_DOWN, gui.KEY_DOWN, gui.KEY_DOWN, 10, "q"])
+    gui.ui_loop(state, scr)
+    assert state.status_message.startswith("Undid")
+    for f in state.files:
+        assert f.path.read_bytes() == originals[f.path]
+
+
+def test_menu_options_target_and_help(state):
+    from mp3rgain_tpu import gui
+    from mp3rgain_tpu.replaygain import REPLAYGAIN_REFERENCE_DB
+
+    t0 = state.target_db
+    # Options -> Target +0.5
+    scr = FakeScreen(["m", gui.KEY_RIGHT, gui.KEY_RIGHT, gui.KEY_RIGHT,
+                      10, "q"])
+    gui.ui_loop(state, scr)
+    assert state.target_db == pytest.approx(t0 + 0.5)
+    # Options -> down x2 -> Reset
+    scr = FakeScreen(["m", gui.KEY_RIGHT, gui.KEY_RIGHT, gui.KEY_RIGHT,
+                      gui.KEY_DOWN, gui.KEY_DOWN, 10, "q"])
+    gui.ui_loop(state, scr)
+    assert state.target_db == REPLAYGAIN_REFERENCE_DB
+    # Help -> About
+    scr = FakeScreen(["m", gui.KEY_LEFT, 10, "q"])
+    gui.ui_loop(state, scr)
+    assert "mp3rgui (TPU)" in state.status_message
+    # The target readout is visible on the menu bar row.
+    last = scr.frames[-1] if scr.frames else scr.cells
+    row0 = " ".join(c[2] for c in last if c[0] == 0)
+    assert f"Target: {state.target_db:.1f} dB" in row0
+
+
+def test_menu_constant_gain_prompt(state, tmp_path):
+    """Apply Constant Gain... prompts for a dB value and applies it via
+    the undo-tracked surgery (exceeds the reference's TODO)."""
+    from mp3rgain_tpu import gui
+
+    originals = {f.path: f.path.read_bytes() for f in state.files}
+    # Modify Gain -> down x2 -> Apply Constant Gain... -> "3.0" Enter
+    keys = (["m", gui.KEY_RIGHT, gui.KEY_RIGHT, gui.KEY_DOWN, gui.KEY_DOWN, 10]
+            + list("3.0") + [10, "q"])
+    scr = FakeScreen(keys)
+    gui.ui_loop(state, scr)
+    assert state.status_message == "Applied constant gain to 2 file(s)"
+    changed = [f for f in state.files if f.path.read_bytes() != originals[f.path]]
+    assert len(changed) == 2  # 3.0 dB = 2 steps, both files modified
+    assert state.undo_all() == 2
+    for f in state.files:
+        assert f.path.read_bytes() == originals[f.path]
+
+
+def test_menu_add_and_clear_files(state, tmp_path, fixtures_dir):
+    from mp3rgain_tpu import gui
+
+    extra = tmp_path / "extra.mp3"
+    shutil.copy(fixtures_dir / "test_mono.mp3", extra)
+    n0 = len(state.files)
+    # File -> Add Files... -> type path -> Enter
+    keys = (["m", 10] + [ord(ch) for ch in str(extra)] + [10, "q"])
+    scr = FakeScreen(keys)
+    gui.ui_loop(state, scr)
+    assert len(state.files) == n0 + 1
+    assert state.status_message == "Added 1 file(s)"
+
+    # File -> down x3 -> Clear File List
+    scr = FakeScreen(["m", gui.KEY_DOWN, gui.KEY_DOWN, gui.KEY_DOWN, 10, "q"])
+    gui.ui_loop(state, scr)
+    assert state.files == []
+
+    # File -> down x4 -> Exit leaves the loop without consuming 'q'.
+    scr = FakeScreen(["m"] + [gui.KEY_DOWN] * 4 + [10, "X"])
+    gui.ui_loop(state, scr)
+    assert scr.keys == [ord("X")]
+
+
+def test_status_panel_progress_bars(state):
+    """The bottom panel shows dual File/Total bars (status.rs) and the
+    file count, live-updated during analysis."""
+    from mp3rgain_tpu import gui
+
+    scr = FakeScreen(["a", "q"], h=24, w=100)
+    gui.ui_loop(state, scr)
+    all_frames = scr.frames + [scr.cells]
+    bar_cells = [c for f in all_frames for c in f
+                 if c[0] == 22 and c[2].startswith("File: [")]
+    assert bar_cells, "status panel never rendered"
+    assert any("Total: [############] 100%" in c[2] for c in bar_cells)
+    count_cells = [c for f in all_frames for c in f if c[0] == 23]
+    assert any("2 files" in c[2] for c in count_cells)
