@@ -14,7 +14,9 @@
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
-MP3RGAIN="python -m mp3rgain_tpu.cli"
+# MP3RGAIN_BIN overrides the CLI under test (e.g. an installed wheel's
+# entry point, used by the test-package.yml install-smoke workflow).
+MP3RGAIN="${MP3RGAIN_BIN:-python -m mp3rgain_tpu.cli}"
 WORK=$(mktemp -d)
 trap 'rm -rf "$WORK"' EXIT
 
