@@ -816,38 +816,61 @@ class MeshRunner:
         device-resident intermediates. Pooled host buffers are recycled
         once their transfers commit."""
         from ..decode import entropy_kernel as ek
-        from ..utils import bufpool
 
         bsz = len(unpacked)
         interpret = jax.default_backend() != "tpu"
+        trace = os.environ.get("MP3RGAIN_SCAN_TIME") == "2"
+        marks = [("t0", time.monotonic())]
+
+        def mark(name):
+            if trace:
+                marks.append((name, time.monotonic()))
+
         prep, (counts, scf, srow, sdata, info, valid) = (
             prepare_batch_arrays_light(unpacked, n_channels, 1)
         )
+        mark("pack")
         dev1 = jax.device_put((prep.scalars, prep.buf, prep.meta))
+        mark("put1")
         spec_b, mout = ek.decode_blocks(*dev1, nb=prep.nb,
                                         interpret=interpret)
+        mark("entropy_launch")
         dev2 = jax.device_put((prep.inv, counts, scf, srow, sdata, info,
                                valid))
+        mark("put2")
         tail = _light_tail_pipeline(n_channels, sample_rate, prep.nb,
                                     self.dtype, use_fused_hybrid(),
                                     interpret)
         hist, loud_idx, peak = tail(spec_b, mout, *dev2)
-        # Transfers have materialized on device once the inputs are
-        # ready; the pooled host buffers are then safe to recycle. Only
-        # on backends that really copy (tpu): CPU jax may ALIAS the host
-        # numpy buffer in device_put, and block_until_ready confirms only
-        # the transfer — recycling an aliased buffer lets the next
-        # batch's pack overwrite memory the still-queued computation
-        # reads (a race observed as cross-bucket result corruption on
-        # the CPU/interpret path).
+        mark("tail_launch")
         if not interpret:
-            jax.block_until_ready(dev1)
-            jax.block_until_ready(dev2)
-            bufpool.give(prep.buf, prep.meta, scf, info)
+            # Defer the input-transfer wait and host-buffer recycling to
+            # collect(): the uploader thread returns as soon as the
+            # launches are queued, so the wait overlaps the next batch's
+            # pack instead of serializing dispatch (measured 2-4.6 s per
+            # batch spent blocked here in steady scans — the single
+            # dominant scan cost once compiles are warm).
+            recycle = ((dev1, dev2), (prep.buf, prep.meta, scf, info))
+            if trace:
+                spans = " ".join(
+                    f"{name}={t1 - t0:.2f}s"
+                    for (_, t0), (name, t1) in zip(marks, marks[1:])
+                )
+                print(f"dispatch_light trace: {spans} "
+                      f"(buf {prep.buf.nbytes / 1e6:.0f} MB)",
+                      file=sys.stderr, flush=True)
+            return (hist, loud_idx, peak, bsz, recycle)
+        # CPU jax may ALIAS the host numpy buffer in device_put;
+        # recycling an aliased buffer lets the next batch's pack
+        # overwrite memory the still-queued computation reads (a race
+        # observed as cross-bucket result corruption on the
+        # CPU/interpret path) — so the interpret path never pools.
         return (hist, loud_idx, peak, bsz)
 
     def collect(self, handle):
         """Block on a dispatched batch; only small scalars cross d2h."""
+        from ..utils import bufpool
+
         if isinstance(handle[0], str) and handle[0] == "sharded":
             _, hist, loud_idx, peak, shard_index, total = handle
             # Un-shard back to original track order (device row gather).
@@ -861,13 +884,21 @@ class MeshRunner:
                 hist[d_idx, j_idx], loud_idx[d_idx, j_idx],
                 peak[d_idx, j_idx], total,
             )
-        hist, loud_idx, peak, bsz = handle
+        hist, loud_idx, peak, bsz = handle[:4]
         stats = np.asarray(
             jnp.concatenate(
                 [loud_idx[:bsz].astype(jnp.float32), peak[:bsz].astype(jnp.float32)]
             )
         )
         louds = np.array([hi.index_to_loudness(i) for i in stats[:bsz]])
+        if len(handle) == 5 and handle[4] is not None:
+            # Deferred from dispatch_light: the batch has executed (the
+            # stats readback above forced it), so the input transfers
+            # are long done — wait out the ready events and recycle the
+            # pooled host buffers for the next pack.
+            dev_arrays, host_bufs = handle[4]
+            jax.block_until_ready(dev_arrays)
+            bufpool.give(*host_bufs)
         return hist[:bsz], louds, stats[bsz:]
 
     def analyze_unpacked_light(
