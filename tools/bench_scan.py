@@ -113,11 +113,18 @@ def main():
           file=sys.stderr)
     assert err == 3, f"expected 3 isolated failures, got {err}"
 
-    os.remove(manifest)
-    res2, steady, ok, err = run_scan(paths, manifest)
-    print(f"steady scan (cached compiles): {steady:.1f}s  "
-          f"{audio_total / steady:.0f}x rt  "
-          f"{res2.audio_hours_per_sec:.3f} audio-hours/sec", file=sys.stderr)
+    # Steady state as the MEDIAN of 3 passes (pass-to-pass variance on
+    # tunneled runtimes is real; best-of-N overstates).
+    steadies = []
+    for k in range(3):
+        os.remove(manifest)
+        res2, steady, ok, err = run_scan(paths, manifest)
+        steadies.append(steady)
+        print(f"steady scan pass {k + 1}: {steady:.1f}s  "
+              f"{audio_total / steady:.0f}x rt  "
+              f"{res2.audio_hours_per_sec:.3f} audio-hours/sec",
+              file=sys.stderr)
+    steady = sorted(steadies)[1]
 
     res3, resume, ok, err = run_scan(paths, manifest)
     print(f"resume from manifest: {resume:.2f}s  resumed={res3.resumed}",
@@ -129,7 +136,9 @@ def main():
         "tracks": args.tracks,
         "audio_seconds": round(audio_total, 1),
         "cold_s": round(cold, 2),
+        "cold_over_steady": round(cold / steady, 2),
         "steady_s": round(steady, 2),
+        "steady_passes_s": [round(s, 2) for s in steadies],
         "steady_x_realtime": round(audio_total / steady, 1),
         "resume_s": round(resume, 3),
     }))
