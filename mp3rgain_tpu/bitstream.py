@@ -37,6 +37,26 @@ class Mp3Error(RuntimeError):
     pass
 
 
+def _tag_io(path, backend: str):
+    """(read, write, delete) for the undo-bookkeeping store.
+
+    backend "ape" (default, reference parity) keeps the APEv2 engine;
+    "id3" routes the same ApeTag items into ID3v2 TXXX frames (-s i —
+    implemented for real here where the reference warns and falls back,
+    src/main.rs:256-258). For id3 the tag is validated up front so an
+    unwritable tag (v2.2/unsynchronised) fails before gain surgery."""
+    if backend == "id3":
+        from . import id3v2
+
+        try:
+            id3v2.check_writable(path)
+        except id3v2.Id3Error as e:
+            raise Mp3Error(str(e)) from e
+        return (id3v2.read_id3_tag_from_file, id3v2.write_id3_tag,
+                id3v2.delete_id3_tag_items)
+    return read_ape_tag_from_file, write_ape_tag, delete_ape_tag
+
+
 class Channel(Enum):
     """Channel selection for -l (reference src/lib.rs:641-667)."""
 
@@ -162,49 +182,55 @@ def apply_gain_channel(path: os.PathLike | str, channel: Channel, gain_steps: in
     return frames
 
 
-def apply_gain_with_undo(path: os.PathLike | str, gain_steps: int) -> int:
-    """Apply + record cumulative undo info in the APE tag (lib.rs:1280-1308)."""
+def apply_gain_with_undo(path: os.PathLike | str, gain_steps: int,
+                         backend: str = "ape") -> int:
+    """Apply + record cumulative undo info in the tag (lib.rs:1280-1308)."""
     if gain_steps == 0:
         return 0
+    read_tag, write_tag, _ = _tag_io(path, backend)
     analysis = analyze(path)
-    tag = read_ape_tag_from_file(path) or ApeTag()
+    tag = read_tag(path) or ApeTag()
     existing = tag.get_undo_gain() or 0
     new_undo = existing + gain_steps
     tag.set_undo_gain(new_undo, new_undo, False)
     if tag.get(TAG_MP3GAIN_MINMAX) is None:
         tag.set_minmax(analysis.min_gain, analysis.max_gain)
     frames = apply_gain(path, gain_steps)
-    write_ape_tag(path, tag)
+    write_tag(path, tag)
     return frames
 
 
-def apply_gain_with_undo_wrap(path: os.PathLike | str, gain_steps: int) -> int:
+def apply_gain_with_undo_wrap(path: os.PathLike | str, gain_steps: int,
+                              backend: str = "ape") -> int:
     if gain_steps == 0:
         return 0
+    read_tag, write_tag, _ = _tag_io(path, backend)
     analysis = analyze(path)
-    tag = read_ape_tag_from_file(path) or ApeTag()
+    tag = read_tag(path) or ApeTag()
     existing = tag.get_undo_gain() or 0
     new_undo = existing + gain_steps
     tag.set_undo_gain(new_undo, new_undo, True)
     if tag.get(TAG_MP3GAIN_MINMAX) is None:
         tag.set_minmax(analysis.min_gain, analysis.max_gain)
     frames = apply_gain_wrap(path, gain_steps)
-    write_ape_tag(path, tag)
+    write_tag(path, tag)
     return frames
 
 
 def apply_gain_channel_with_undo(
-    path: os.PathLike | str, channel: Channel, gain_steps: int
+    path: os.PathLike | str, channel: Channel, gain_steps: int,
+    backend: str = "ape",
 ) -> int:
     """Channel apply with per-channel undo bookkeeping (lib.rs:771-812)."""
     if gain_steps == 0:
         return 0
+    read_tag, write_tag, _ = _tag_io(path, backend)
     analysis = analyze(path)
     if analysis.channel_mode == "Mono":
         raise Mp3Error(
             "Cannot apply channel-specific gain to mono file. Use -g for mono files."
         )
-    tag = read_ape_tag_from_file(path) or ApeTag()
+    tag = read_tag(path) or ApeTag()
     left, right = parse_undo_values(tag.get(TAG_MP3GAIN_UNDO))
     if channel is Channel.LEFT:
         left += gain_steps
@@ -214,16 +240,19 @@ def apply_gain_channel_with_undo(
     if tag.get(TAG_MP3GAIN_MINMAX) is None:
         tag.set_minmax(analysis.min_gain, analysis.max_gain)
     frames = apply_gain_channel(path, channel, gain_steps)
-    write_ape_tag(path, tag)
+    write_tag(path, tag)
     return frames
 
 
-def undo_gain(path: os.PathLike | str) -> int:
-    """Reverse recorded gain; removes the undo tags, deleting the APE tag
-    entirely when it becomes empty (lib.rs:1311-1338)."""
-    tag = read_ape_tag_from_file(path)
+def undo_gain(path: os.PathLike | str, backend: str = "ape") -> int:
+    """Reverse recorded gain; removes the undo tags, deleting the tag
+    entirely when it becomes empty (lib.rs:1311-1338; for the id3
+    backend only the owned TXXX frames are ever removed)."""
+    read_tag, write_tag, delete_tag = _tag_io(path, backend)
+    tag = read_tag(path)
     if tag is None:
-        raise Mp3Error("No APE tag found - cannot undo")
+        label = "ID3v2" if backend == "id3" else "APE"
+        raise Mp3Error(f"No {label} tag found - cannot undo")
     undo = tag.get_undo_gain()
     if undo is None:
         raise Mp3Error("No MP3GAIN_UNDO tag found - cannot undo")
@@ -233,9 +262,9 @@ def undo_gain(path: os.PathLike | str) -> int:
     tag.remove(TAG_MP3GAIN_UNDO)
     tag.remove(TAG_MP3GAIN_MINMAX)
     if tag.is_empty():
-        delete_ape_tag(path)
+        delete_tag(path)
     else:
-        write_ape_tag(path, tag)
+        write_tag(path, tag)
     return frames
 
 

@@ -193,8 +193,10 @@ def parse_args(args: list[str]) -> Options:
                 elif v == "r":
                     opts.stored_tag_mode = StoredTagMode.RECALC
                 elif v == "i":
+                    # Implemented for real (id3v2.py TXXX backend) where
+                    # the reference warns and falls back to APEv2
+                    # (src/main.rs:256-258).
                     opts.stored_tag_mode = StoredTagMode.USE_ID3V2
-                    _warn("-s i (ID3v2 tags) not fully supported, using APEv2")
                 elif v == "a":
                     opts.stored_tag_mode = StoredTagMode.USE_APEV2
                 else:
@@ -1112,15 +1114,16 @@ def process_apply(f: Path, steps: int, opts: Options) -> dict:
         )
 
     try:
+        backend = _tag_backend(opts)
         if opts.stored_tag_mode == StoredTagMode.SKIP:
             if opts.wrap_gain:
                 frames = apply_with_temp_file(f, lambda p: apply_gain_wrap(p, actual_steps), opts)
             else:
                 frames = apply_with_temp_file(f, lambda p: apply_gain(p, actual_steps), opts)
         elif opts.wrap_gain:
-            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo_wrap(p, actual_steps), opts)
+            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo_wrap(p, actual_steps, backend=backend), opts)
         else:
-            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo(p, actual_steps), opts)
+            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo(p, actual_steps, backend=backend), opts)
         _restore_mtime(f, original_mtime)
         if opts.output_format == OutputFormat.TEXT and not opts.quiet:
             print(f"  {colorize('v', Color.GREEN)} {filename} ({frames} frames)")
@@ -1133,6 +1136,11 @@ def process_apply(f: Path, steps: int, opts: Options) -> dict:
         if opts.output_format == OutputFormat.TEXT and not opts.quiet:
             print(f"  {colorize('x', Color.RED, stream=sys.stderr)} {filename} - {e}", file=sys.stderr)
         return file_result(file=str(f), status="error", error=str(e))
+
+
+def _tag_backend(opts: Options) -> str:
+    """Undo-bookkeeping store: APEv2 by default, ID3v2 TXXX under -s i."""
+    return "id3" if opts.stored_tag_mode == StoredTagMode.USE_ID3V2 else "ape"
 
 
 def process_apply_channel(f: Path, channel: Channel, steps: int, opts: Options) -> dict:
@@ -1149,7 +1157,8 @@ def process_apply_channel(f: Path, channel: Channel, steps: int, opts: Options) 
         )
 
     try:
-        frames = apply_gain_channel_with_undo(f, channel, steps)
+        frames = apply_gain_channel_with_undo(f, channel, steps,
+                                              backend=_tag_backend(opts))
         _restore_mtime(f, original_mtime)
         if opts.output_format == OutputFormat.TEXT and not opts.quiet:
             print(f"  {colorize('v', Color.GREEN)} {filename} ({frames} frames, {channel_name} channel)")
@@ -1240,7 +1249,7 @@ def process_undo(f: Path, opts: Options) -> dict:
         return file_result(file=str(f), status="dry_run", dry_run=True)
 
     try:
-        frames = undo_gain(f)
+        frames = undo_gain(f, backend=_tag_backend(opts))
         if frames == 0:
             if opts.output_format == OutputFormat.TEXT and not opts.quiet:
                 print(f"  {colorize('.', Color.CYAN)} {dry_run_prefix}{filename} (no changes to undo)")
@@ -1345,10 +1354,11 @@ def process_apply_replaygain(f: Path, steps: int, result, opts: Options, album_i
         return _apply_replaygain_aac(f, result, opts, warning_msg, original_mtime, album_info)
 
     try:
+        backend = _tag_backend(opts)
         if opts.wrap_gain:
-            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo_wrap(p, actual_steps), opts)
+            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo_wrap(p, actual_steps, backend=backend), opts)
         else:
-            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo(p, actual_steps), opts)
+            frames = apply_with_temp_file(f, lambda p: apply_gain_with_undo(p, actual_steps, backend=backend), opts)
         _restore_mtime(f, original_mtime)
         if opts.output_format == OutputFormat.TEXT and not opts.quiet:
             print(f"  {colorize('v', Color.GREEN)} {filename} ({frames} frames, {steps_to_db(actual_steps):+.1f} dB)")
@@ -1425,7 +1435,7 @@ def print_usage() -> None:
     print("                  d = delete stored tag info")
     print("                  s = skip (ignore) stored tag info")
     print("                  r = force recalculation")
-    print("                  i = use ID3v2 tags (not fully supported)")
+    print("                  i = use ID3v2 tags (TXXX frames)")
     print("                  a = use APEv2 tags (default)")
     print("    -p          Preserve original file timestamp")
     print("    -c          Ignore clipping warnings")

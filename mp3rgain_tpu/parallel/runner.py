@@ -1096,11 +1096,16 @@ def analyze_library(
         if batch_cb:
             batch_cb(done)
 
-    # The pack + h2d + launch of batch k+1 runs on a dedicated uploader
-    # thread while the device computes batch k (and while the main thread
+    # The pack + h2d + launch of batch k+1 runs on uploader threads
+    # while the device computes batch k (and while the main thread
     # walks the next wave of files — the native unpack drops the GIL).
-    # Two batches stay in flight: one uploading, one computing.
-    uploader = ThreadPoolExecutor(max_workers=1)
+    # Several workers so that cold scans compile DIFFERENT shape keys
+    # concurrently (the remote compiler parallelizes across requests;
+    # a 9-format library's ~dozen 30-60 s compiles serialized on one
+    # thread were most of the round-3 cold-scan tax). Steady-state
+    # transfers still serialize on the link, so extra workers are
+    # harmless there; collect order stays FIFO via the inflight queue.
+    uploader = ThreadPoolExecutor(max_workers=4)
 
     def flush_bucket(key, members):
         sr, nch = key
@@ -1109,7 +1114,7 @@ def analyze_library(
         inflight.append(
             (uploader.submit(_timed_dispatch, ups, sr, nch), idxs, sr)
         )
-        while len(inflight) > 2:
+        while len(inflight) > 4:
             collect_one()
 
     paths = list(paths)
