@@ -1059,10 +1059,55 @@ def analyze_library(
         h = dispatch(ups, sr, nch)
         return h, time.monotonic() - td0
 
+    def _est_resident_bytes(ups) -> int:
+        """Approximate HBM a dispatched batch holds while queued: its
+        input manifest plus the entropy-stage int16 spectrum (the tail's
+        transients are transient — executions serialize on device).
+        1.3x covers ladder/ragged padding."""
+        n = sum(u.n for u in ups)
+        inputs = sum(
+            a.nbytes for u in ups for a in vars(u).values()
+            if isinstance(a, np.ndarray)
+        )
+        return int(1.3 * inputs + 1.3 * n * 576 * 2)
+
+    def _dispatch_collect_halving(ups, idxs, sr, nch):
+        """Synchronous fallback after a ResourceExhausted dispatch: the
+        tunneled chip is shared, so HBM pressure comes in windows from
+        outside this process. Dispatch+collect immediately (no other
+        batch in flight), halving the batch until it fits — a 1k-track
+        scan must degrade, not die."""
+        try:
+            return [(idxs, runner.collect(dispatch(ups, sr, nch)))]
+        except Exception as e:
+            if len(ups) == 1 or "RESOURCE_EXHAUSTED" not in (
+                f"{type(e).__name__}: {e}"
+            ):
+                raise
+            if scan_time:
+                print(f"scan batch: OOM at n={len(ups)}, halving",
+                      file=sys.stderr, flush=True)
+            mid = len(ups) // 2
+            out = []
+            for lo, hi in ((0, mid), (mid, len(ups))):
+                out += _dispatch_collect_halving(
+                    ups[lo:hi], idxs[lo:hi], sr, nch
+                )
+            return out
+
     def collect_one():
-        fut, idxs, sr = inflight.pop(0)
+        fut, idxs, sr, nch, ups, _est = inflight.pop(0)
         tc0 = time.monotonic()
-        handle, dispatch_dt = fut.result()
+        try:
+            handle, dispatch_dt = fut.result()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in f"{type(e).__name__}: {e}":
+                raise
+            for idxs2, collected in _dispatch_collect_halving(
+                ups, idxs, sr, nch
+            ):
+                _finish_batch(idxs2, sr, collected)
+            return
         hist_dev, louds, peaks = runner.collect(handle)
         if scan_time:
             print(
@@ -1071,6 +1116,10 @@ def analyze_library(
                 f"collect_wait={time.monotonic() - tc0:.2f}s",
                 file=sys.stderr, flush=True,
             )
+        _finish_batch(idxs, sr, (hist_dev, louds, peaks))
+
+    def _finish_batch(idxs, sr, collected):
+        hist_dev, louds, peaks = collected
         if album:
             batch_sum = jnp.sum(hist_dev, axis=0)
             album_state["hist"] = (
@@ -1107,15 +1156,34 @@ def analyze_library(
     # harmless there; collect order stays FIFO via the inflight queue.
     uploader = ThreadPoolExecutor(max_workers=4)
 
+    # Admission is byte-aware, not just count-capped: the chip is shared
+    # through the tunnel, and 4 full-size batches of resident inputs +
+    # entropy spectra (~1 GB each) have been seen to trip
+    # RESOURCE_EXHAUSTED under outside pressure. Two batches always
+    # overlap (the round-3 pipeline minimum); beyond that a batch is
+    # admitted only while the estimated resident total stays under the
+    # budget. Small cold-compile batches stay 4-wide.
+    hbm_budget = int(
+        float(os.environ.get("MP3RGAIN_INFLIGHT_HBM_MB", 3072)) * 1e6
+    )
+
     def flush_bucket(key, members):
         sr, nch = key
         idxs = [i for i, _ in members]
         ups = [u for _, u in members]
-        inflight.append(
-            (uploader.submit(_timed_dispatch, ups, sr, nch), idxs, sr)
-        )
-        while len(inflight) > 4:
+        est = _est_resident_bytes(ups)
+        while inflight and (
+            len(inflight) >= 4
+            or (
+                len(inflight) >= 2
+                and sum(e[5] for e in inflight) + est > hbm_budget
+            )
+        ):
             collect_one()
+        inflight.append(
+            (uploader.submit(_timed_dispatch, ups, sr, nch), idxs, sr,
+             nch, ups, est)
+        )
 
     paths = list(paths)
     workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)

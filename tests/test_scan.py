@@ -195,3 +195,43 @@ def test_aac_scan_streams_batches(tmp_path):
     assert r2.resumed == 18
     for p in paths[:18]:
         assert r2.results[str(p)].gain_db == res.results[str(p)].gain_db
+
+
+def test_oom_dispatch_halves_and_recovers(library, monkeypatch):
+    """A RESOURCE_EXHAUSTED dispatch (shared-chip HBM pressure window)
+    must degrade to smaller synchronous batches, not kill the scan."""
+    from mp3rgain_tpu import parallel as pr
+    from mp3rgain_tpu.parallel import runner as rmod
+
+    runner = pr.MeshRunner()
+    dispatch_sizes = []
+    # Patch the same entry point analyze_library selects (dispatch_heavy
+    # on the CPU test mesh, the light paths under device entropy).
+    if not rmod.use_device_entropy(runner):
+        name = "dispatch_heavy"
+    elif runner.n_devices > 1:
+        name = "dispatch_light_sharded"
+    else:
+        name = "dispatch_light"
+    real = getattr(runner, name)
+    fails = {"left": 2}
+
+    def flaky(ups, sr, nch):
+        dispatch_sizes.append(len(ups))
+        if len(ups) > 2 and fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return real(ups, sr, nch)
+
+    monkeypatch.setattr(runner, name, flaky)
+    res = rmod.analyze_library(library, runner=runner)
+    print("DISPATCH_SIZES", dispatch_sizes, "fails", fails)
+    assert all(t.ok for t in res.tracks)
+    # The failing full batch was re-dispatched in halves.
+    assert any(s <= max(dispatch_sizes) // 2 for s in dispatch_sizes)
+
+    # Results match an unfaulted scan.
+    res2 = rmod.analyze_library(library, runner=pr.MeshRunner())
+    for a, b in zip(res.tracks, res2.tracks):
+        assert a.result.gain_db == pytest.approx(b.result.gain_db, abs=1e-9)
+        assert a.result.peak == pytest.approx(b.result.peak, abs=1e-12)
