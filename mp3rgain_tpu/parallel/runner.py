@@ -1071,22 +1071,49 @@ def analyze_library(
         )
         return int(1.3 * inputs + 1.3 * n * 576 * 2)
 
+    def _retryable(e) -> bool:
+        """Device-side pressure that halving/retrying can relieve. The
+        tunneled chip is shared: HBM exhaustion surfaces either as a
+        clean RESOURCE_EXHAUSTED at execution time or — when buffer
+        assignment blows the budget during remote AOT compilation — as
+        an INTERNAL error from the compile-helper subprocess dying
+        (observed: 'remote_compile: HTTP 500: tpu_compile_helper
+        subprocess exit code 1' killing a 1k-track scan at batch 12)."""
+        text = f"{type(e).__name__}: {e}"
+        return any(
+            m in text
+            for m in (
+                "RESOURCE_EXHAUSTED",
+                "Ran out of memory",
+                "tpu_compile_helper",
+                "remote_compile",
+            )
+        )
+
     def _dispatch_collect_halving(ups, idxs, sr, nch):
-        """Synchronous fallback after a ResourceExhausted dispatch: the
-        tunneled chip is shared, so HBM pressure comes in windows from
-        outside this process. Dispatch+collect immediately (no other
-        batch in flight), halving the batch until it fits — a 1k-track
-        scan must degrade, not die."""
+        """Synchronous fallback after a pressure-class dispatch failure:
+        dispatch+collect immediately (no other batch in flight), halving
+        the batch until it fits. At n=1 retry once after a backoff (the
+        pressure window may pass), then isolate the track as a failed
+        outcome — a 1k-track scan must degrade, not die."""
         try:
             return [(idxs, runner.collect(dispatch(ups, sr, nch)))]
         except Exception as e:
-            if len(ups) == 1 or "RESOURCE_EXHAUSTED" not in (
-                f"{type(e).__name__}: {e}"
-            ):
+            if not _retryable(e):
                 raise
+            if len(ups) == 1:
+                time.sleep(float(
+                    os.environ.get("MP3RGAIN_PRESSURE_BACKOFF_S", 10.0)
+                ))
+                try:
+                    return [(idxs, runner.collect(dispatch(ups, sr, nch)))]
+                except Exception as e2:
+                    if not _retryable(e2):
+                        raise
+                    return [(idxs, e2)]
             if scan_time:
-                print(f"scan batch: OOM at n={len(ups)}, halving",
-                      file=sys.stderr, flush=True)
+                print(f"scan batch: device pressure at n={len(ups)}, "
+                      f"halving", file=sys.stderr, flush=True)
             mid = len(ups) // 2
             out = []
             for lo, hi in ((0, mid), (mid, len(ups))):
@@ -1101,14 +1128,23 @@ def analyze_library(
         try:
             handle, dispatch_dt = fut.result()
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in f"{type(e).__name__}: {e}":
+            if not _retryable(e):
                 raise
             for idxs2, collected in _dispatch_collect_halving(
                 ups, idxs, sr, nch
             ):
                 _finish_batch(idxs2, sr, collected)
             return
-        hist_dev, louds, peaks = runner.collect(handle)
+        try:
+            hist_dev, louds, peaks = runner.collect(handle)
+        except Exception as e:
+            if not _retryable(e):
+                raise
+            for idxs2, collected in _dispatch_collect_halving(
+                ups, idxs, sr, nch
+            ):
+                _finish_batch(idxs2, sr, collected)
+            return
         if scan_time:
             print(
                 f"scan batch: n={len(idxs)} sr={sr} "
@@ -1119,6 +1155,21 @@ def analyze_library(
         _finish_batch(idxs, sr, (hist_dev, louds, peaks))
 
     def _finish_batch(idxs, sr, collected):
+        if isinstance(collected, Exception):
+            # Single track that failed even after halving + backoff:
+            # isolate it (same contract as a corrupt file) instead of
+            # aborting the scan.
+            for i in idxs:
+                outcomes[i] = TrackOutcome(
+                    path=str(paths[i]), ok=False,
+                    error=RuntimeError(
+                        f"device dispatch failed under pressure: "
+                        f"{collected}"
+                    ),
+                )
+            if batch_cb:
+                batch_cb([outcomes[i] for i in idxs])
+            return
         hist_dev, louds, peaks = collected
         if album:
             batch_sum = jnp.sum(hist_dev, axis=0)

@@ -235,3 +235,49 @@ def test_oom_dispatch_halves_and_recovers(library, monkeypatch):
     for a, b in zip(res.tracks, res2.tracks):
         assert a.result.gain_db == pytest.approx(b.result.gain_db, abs=1e-9)
         assert a.result.peak == pytest.approx(b.result.peak, abs=1e-12)
+
+
+def test_compile_crash_isolates_not_dies(library, monkeypatch):
+    """A remote-compile-helper crash (INTERNAL / HTTP 500 — observed
+    when buffer assignment exhausts HBM during AOT compilation) is the
+    same pressure class as RESOURCE_EXHAUSTED: halve, retry once at
+    n=1, then isolate the stubborn track instead of killing the scan."""
+    from mp3rgain_tpu import parallel as pr
+    from mp3rgain_tpu.parallel import runner as rmod
+
+    monkeypatch.setenv("MP3RGAIN_PRESSURE_BACKOFF_S", "0")
+    runner = pr.MeshRunner()
+    if not rmod.use_device_entropy(runner):
+        name = "dispatch_heavy"
+    elif runner.n_devices > 1:
+        name = "dispatch_light_sharded"
+    else:
+        name = "dispatch_light"
+    real = getattr(runner, name)
+    poisoned = {"u": None}
+
+    def flaky(ups, sr, nch):
+        # One specific track never compiles (even at n=1, even on the
+        # retry); everything batched with it must still succeed.
+        if poisoned["u"] is None and len(ups) > 1:
+            poisoned["u"] = ups[0]
+        if any(u is poisoned["u"] for u in ups):
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8103/remote_compile: "
+                "HTTP 500: tpu_compile_helper subprocess exit code 1"
+            )
+        return real(ups, sr, nch)
+
+    monkeypatch.setattr(runner, name, flaky)
+    res = rmod.analyze_library(library, runner=runner)
+    bad = [t for t in res.tracks if not t.ok]
+    assert len(bad) == 1
+    assert "pressure" in str(bad[0].error)
+    good = [t for t in res.tracks if t.ok]
+    assert good, "every other track must survive the poisoned batch"
+    ref = rmod.analyze_library(library, runner=pr.MeshRunner())
+    by_path = {t.path: t for t in ref.tracks}
+    for t in good:
+        assert t.result.gain_db == pytest.approx(
+            by_path[t.path].result.gain_db, abs=1e-9
+        )
