@@ -114,8 +114,13 @@ def _prefix_kernels(a_tail: tuple, block: int, nb2: int | None, l2: int):
             t2[t, s] = powers[t - s]
     ml2 = powers[l2]
     p = np.stack(powers[1 : l2 + 1])
-    # einsum-free layout: out[(t,i)] = sum_{(s,j)} T[(t,i),(s,j)] v[(s,j)]
-    t2m = t2.transpose(0, 2, 1, 3).reshape(l2 * P, l2 * P)
+    # TAP-MAJOR layout: out[(i,t)] = sum_{(j,s)} T[(i,t),(j,s)] v[(j,s)].
+    # Keeping the tap axis OUTSIDE the flattened dim means no on-device
+    # tensor ever carries P as its minor dimension: a (B, NB, P) f32
+    # with NB in the tens of thousands tile-pads P=10 -> 128 (12.8x),
+    # and XLA's remat kept 8 such 1.6 GB clones alive on a 48x90s
+    # batch — a compile-time HBM OOM (measured round 4).
+    t2m = t2.transpose(2, 0, 3, 1).reshape(l2 * P, l2 * P)
 
     t3m = None
     if nb2 is not None:
@@ -131,12 +136,14 @@ def _prefix_kernels(a_tail: tuple, block: int, nb2: int | None, l2: int):
 
 
 def _affine_prefix(v, a_tail: tuple, block: int, l2: int = 128):
-    """s_n = M s_{n-1} + v_n (s_{-1} = 0) for v (B, N, P), fully parallel:
-    a lower-triangular Toeplitz matmul over each superblock of l2
-    carries, then the cross-superblock solve — dense matmul for short
-    tracks, associative scan of (M^l2, carry) affine pairs for long
-    ones (NB2_DENSE_MAX)."""
-    b, n, P = v.shape
+    """s_n = M s_{n-1} + v_n (s_{-1} = 0) for v (B, P, N) TAP-MAJOR,
+    fully parallel: a lower-triangular Toeplitz matmul over each
+    superblock of l2 carries, then the cross-superblock solve — dense
+    matmul for short tracks, associative scan of (M^l2, carry) affine
+    pairs for long ones (NB2_DENSE_MAX). The (B, P, N) layout keeps the
+    large block axis minor on every big tensor (a (B, N, P) layout
+    tile-pads P -> 128 on TPU; see _prefix_kernels)."""
+    b, P, n = v.shape
     nb2 = -(-n // l2)
     dense = nb2 <= NB2_DENSE_MAX
     t2m, t3m, p, ml2 = _prefix_kernels(
@@ -146,12 +153,16 @@ def _affine_prefix(v, a_tail: tuple, block: int, l2: int = 128):
     t2m = jnp.asarray(t2m, dtype)
     p = jnp.asarray(p, dtype)
 
-    vp = jnp.pad(v, ((0, 0), (0, nb2 * l2 - n), (0, 0)))
-    vb = vp.reshape(b, nb2, l2 * P)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, nb2 * l2 - n)))
+    vb = (
+        vp.reshape(b, P, nb2, l2)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, nb2, P * l2)
+    )
     local = jnp.einsum(
         "ts,bns->bnt", t2m, vb, preferred_element_type=dtype
-    ).reshape(b, nb2, l2, P)
-    carries = local[:, :, -1, :]  # (B, nb2, P)
+    ).reshape(b, nb2, P, l2)
+    carries = local[:, :, :, -1]  # (B, nb2, P) — small; padding is fine
     if dense:
         s_end = jnp.einsum(
             "ts,bs->bt", jnp.asarray(t3m, dtype),
@@ -176,10 +187,14 @@ def _affine_prefix(v, a_tail: tuple, block: int, l2: int = 128):
 
         _, s2 = jax.lax.associative_scan(combine, (ml2d, carries), axis=1)
         s_end = jnp.roll(s2, 1, axis=1).at[:, 0].set(0.0)
-    cross = jnp.einsum("bmj,tij->bmti", s_end, p,
-                       preferred_element_type=dtype)
-    s = (local + cross).reshape(b, nb2 * l2, P)
-    return s[:, :n]
+    cross = jnp.einsum("bmj,tij->bmit", s_end, p,
+                       preferred_element_type=dtype)  # (B, nb2, P, l2)
+    s = (
+        (local + cross)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, P, nb2 * l2)
+    )
+    return s[:, :, :n]
 
 
 @lru_cache(maxsize=None)
@@ -226,12 +241,20 @@ def _group_apply(x, b_taps: tuple, a_tail: tuple, block: int):
 
     y_zs = jnp.einsum("ts,bns->bnt", tc, xin, preferred_element_type=dtype)
 
-    # Block carry state s = [y_{L-1}, ..., y_{L-P}].
-    v = jnp.stack([y_zs[:, :, L - 1 - i] for i in range(P)], axis=-1)
-    s = _affine_prefix(v, a_tail, L)
-    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
+    # Block carry state s = [y_{L-1}, ..., y_{L-P}], built TAP-MAJOR
+    # (B, P, NB) via a one-hot column selector so no large tensor ever
+    # has P as its minor dim (P=10 tile-pads to 128 on TPU — 12.8x HBM;
+    # P separate 1-wide slices were 8x 1.6 GB remat temps on a 48x90s
+    # batch and OOM'd the compile).
+    sel = np.zeros((L, P))
+    for i in range(P):
+        sel[L - 1 - i, i] = 1.0
+    v = jnp.einsum("bnt,tp->bpn", y_zs, jnp.asarray(sel, dtype),
+                   preferred_element_type=dtype)
+    s = _affine_prefix(v, a_tail, L)  # (B, P, NB)
+    s_prev = jnp.pad(s, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
 
-    y = y_zs + jnp.einsum("bnj,tj->bnt", s_prev, g,
+    y = y_zs + jnp.einsum("bjn,tj->bnt", s_prev, g,
                           preferred_element_type=dtype)
     return y.reshape(b, nblk * L)[:, :t]
 

@@ -1157,8 +1157,8 @@ def analyze_library(
     def _finish_batch(idxs, sr, collected):
         if isinstance(collected, Exception):
             # Single track that failed even after halving + backoff:
-            # isolate it (same contract as a corrupt file) instead of
-            # aborting the scan.
+            # isolate it (same contract as a corrupt file — no result,
+            # no checkpoint callback) instead of aborting the scan.
             for i in idxs:
                 outcomes[i] = TrackOutcome(
                     path=str(paths[i]), ok=False,
@@ -1167,8 +1167,6 @@ def analyze_library(
                         f"{collected}"
                     ),
                 )
-            if batch_cb:
-                batch_cb([outcomes[i] for i in idxs])
             return
         hist_dev, louds, peaks = collected
         if album:
@@ -1218,6 +1216,28 @@ def analyze_library(
         float(os.environ.get("MP3RGAIN_INFLIGHT_HBM_MB", 3072)) * 1e6
     )
 
+    def _chunk_size(members, max_batch: int) -> int:
+        """Largest prefix of the length-sorted members whose padded
+        (bpad x g_max) row footprint stays under the device cap.
+
+        Bounds every batch's HBM demand by construction: 64 of the
+        LONGEST tracks can pad to ~1.5x the rows of the proven 64x60s
+        bench batch, and the extra padded IIR/synthesis temporaries
+        pushed a 48x90s batch's compile past the 15.75 GB HBM budget
+        (round 4). Splitting by rows instead of count keeps long-track
+        batches inside the envelope short-track batches prove out."""
+        cap = int(os.environ.get("MP3RGAIN_BATCH_ROWS", 640_000))
+        c = min(len(members), max_batch)
+        while c > 1:
+            u = members[c - 1][1]
+            g = _quantize_up(u.n, 2 * u.n_channels, base=512, ratio=1.3)
+            bpad = next((b for b in _B_LADDER if b >= c), c)
+            if bpad * g <= cap:
+                break
+            lower = [b for b in _B_LADDER if b < bpad]
+            c = min(c - 1, lower[-1] if lower else 1)
+        return c
+
     def flush_bucket(key, members):
         sr, nch = key
         idxs = [i for i, _ in members]
@@ -1264,12 +1284,16 @@ def analyze_library(
                 if len(members) >= runner.max_batch:
                     members.sort(key=lambda iu: iu[1].n)
                     while len(members) >= runner.max_batch:
-                        flush_bucket(key, members[: runner.max_batch])
-                        del members[: runner.max_batch]
+                        c = _chunk_size(members, runner.max_batch)
+                        flush_bucket(key, members[:c])
+                        del members[:c]
 
         for key, members in buckets.items():
-            if members:
-                flush_bucket(key, members)
+            members.sort(key=lambda iu: iu[1].n)
+            while members:
+                c = _chunk_size(members, runner.max_batch)
+                flush_bucket(key, members[:c])
+                del members[:c]
         while inflight:
             collect_one()
     finally:

@@ -197,6 +197,11 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
         def _checkpoint(done_tracks):
             import jax.numpy as jnp
 
+            done_tracks = [
+                t for t in done_tracks if t.ok and t.histogram is not None
+            ]
+            if not done_tracks:
+                return
             stacked = jnp.stack([t.histogram for t in done_tracks])
             ckpt_futs.append(
                 ckpt_pool.submit(_readback_and_store, done_tracks, stacked)

@@ -150,7 +150,9 @@ def test_affine_prefix_long_track_scan_level2():
     a_tail = (-1.6, 0.68)  # stable AR(2)
     block, l2 = 128, 128
     n = iir.NB2_DENSE_MAX * l2 + 513  # forces the scan path
-    v = rng.standard_normal((1, n, 2)).astype(np.float64)
+    # _affine_prefix takes tap-major (B, P, N) (the (B, N, P) layout
+    # tile-padded P -> 128 on TPU and OOM'd large batches).
+    v = rng.standard_normal((1, 2, n)).astype(np.float64)
 
     out = np.asarray(iir._affine_prefix(jnp.asarray(v), a_tail, block, l2))
 
@@ -158,16 +160,16 @@ def test_affine_prefix_long_track_scan_level2():
     s = np.zeros(2)
     ref = np.empty((n, 2))
     for t in range(n):
-        s = m @ s + v[0, t]
+        s = m @ s + v[0, :, t]
         ref[t] = s
-    np.testing.assert_allclose(out[0], ref, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(out[0].T, ref, rtol=1e-9, atol=1e-9)
 
     # Dense level 2 on a prefix agrees with the scan level 2 bit-close.
     n_short = 4 * l2 + 37
     out_short = np.asarray(
-        iir._affine_prefix(jnp.asarray(v[:, :n_short]), a_tail, block, l2)
+        iir._affine_prefix(jnp.asarray(v[:, :, :n_short]), a_tail, block, l2)
     )
-    np.testing.assert_allclose(out_short[0], ref[:n_short], rtol=1e-9,
+    np.testing.assert_allclose(out_short[0].T, ref[:n_short], rtol=1e-9,
                                atol=1e-9)
 
 

@@ -269,7 +269,14 @@ def test_compile_crash_isolates_not_dies(library, monkeypatch):
         return real(ups, sr, nch)
 
     monkeypatch.setattr(runner, name, flaky)
-    res = rmod.analyze_library(library, runner=runner)
+    # batch_cb mirrors the scan checkpoint contract: it must never see
+    # a failed track (their histogram is None — stacking one killed a
+    # real 1k scan).
+    cb_tracks = []
+    res = rmod.analyze_library(
+        library, runner=runner, batch_cb=cb_tracks.extend
+    )
+    assert all(t.ok and t.histogram is not None for t in cb_tracks)
     bad = [t for t in res.tracks if not t.ok]
     assert len(bad) == 1
     assert "pressure" in str(bad[0].error)
