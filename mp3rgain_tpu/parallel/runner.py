@@ -805,7 +805,7 @@ class MeshRunner:
 
     def dispatch_light(
         self, unpacked: list[fe.UnpackedMp3Light], sample_rate: int,
-        n_channels: int,
+        n_channels: int, force_shapes: tuple | None = None,
     ):
         """Enqueue a raw-bits batch; returns a handle for collect().
 
@@ -814,7 +814,14 @@ class MeshRunner:
         stage (keyed by nb + ragged buffer length — small, fast to
         compile) feeds the analysis tail (keyed by nb/B/G only) through
         device-resident intermediates. Pooled host buffers are recycled
-        once their transfers commit."""
+        once their transfers commit.
+
+        force_shapes=(bpad, g_max, nb) pins static shapes to a scan
+        plan's class key (see _plan_scan) so similar batches share one
+        compiled executable. Pins are advisory upper bounds: if the
+        unpacked data needs more (the plan probed with a different
+        resync walk), the real requirement wins — a fresh key, not a
+        crash."""
         from ..decode import entropy_kernel as ek
 
         bsz = len(unpacked)
@@ -826,8 +833,27 @@ class MeshRunner:
             if trace:
                 marks.append((name, time.monotonic()))
 
+        full_force = None
+        if force_shapes is not None:
+            bpad_f, g_f, nb_f = force_shapes
+            g_req = _quantize_up(
+                max(u.n for u in unpacked), 2 * n_channels,
+                base=512, ratio=1.3,
+            )
+            b_req = next((b for b in _B_LADDER if b >= bsz), bsz)
+            nb_raw = max(1, -(-sum(u.n for u in unpacked) // ek.LANES))
+            nb_req = (
+                ek._cap(nb_raw, ek.NB_CAPS)
+                if nb_raw <= ek.NB_CAPS[-1] else nb_raw
+            )
+            full_force = (
+                max(bpad_f, b_req), max(g_f, g_req), max(nb_f, nb_req),
+                None, None,
+            )
         prep, (counts, scf, srow, sdata, info, valid) = (
-            prepare_batch_arrays_light(unpacked, n_channels, 1)
+            prepare_batch_arrays_light(
+                unpacked, n_channels, 1, force_shapes=full_force
+            )
         )
         mark("pack")
         dev1 = jax.device_put((prep.scalars, prep.buf, prep.meta))
@@ -995,6 +1021,129 @@ def device_entropy_enabled(n_devices: int = 1) -> bool:
     return n_devices == 1 and jax.default_backend() == "tpu"
 
 
+_SR_BY_VERSION = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+                  0: (11025, 12000, 8000)}
+
+
+def _probe_mp3(path):
+    """Cheap native header walk: (sample_rate, n_channels, gch_count)
+    or None. One mg_frame_index pass (resync walk, no entropy decode,
+    ~1 ms/track) gives the exact frame count; the first header word
+    gives rate/mode. gch may overcount (frames the full unpack later
+    rejects) but never undercounts — plan shapes derived from it are
+    safe upper bounds."""
+    import ctypes
+
+    from .. import native as nat
+
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        out = np.zeros(3, np.int64)
+        n = nat._lib.mg_frame_index(
+            nat._inbuf(data), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 1,
+        )
+    except Exception:
+        return None
+    frames = -n if n < 0 else n
+    if frames <= 0:
+        return None
+    hdr = int(out[2])
+    version = (hdr >> 19) & 3
+    sr_idx = (hdr >> 10) & 3
+    if version not in _SR_BY_VERSION or sr_idx > 2:
+        return None
+    sr = _SR_BY_VERSION[version][sr_idx]
+    nch = 1 if ((hdr >> 6) & 3) == 3 else 2
+    granules = 2 if version == 3 else 1
+    return sr, nch, frames * granules * nch
+
+
+def _plan_scan(paths, max_batch: int, rows_cap: int):
+    """Pre-scan pass for big libraries: probe every file's shape, then
+    pin ONE compile key per (bucket, length-class) and order the walk
+    so each distinct key's first batch dispatches as early as possible.
+
+    Cold scans are remote-compile-bound; the two levers here are (a)
+    fewer executable keys — every chunk of a class is forced to the
+    class shape (bpad, g_pin, nb_pin), so remainder batches and
+    slightly-shorter batches reuse the class executable instead of
+    minting (B, g_max) variants — and (b) compile concurrency: the walk
+    order leads with one chunk per class, so all distinct keys hit the
+    (concurrent) remote compiler in the first few waves instead of
+    being discovered serially as buckets happen to fill.
+
+    Returns (order, queues): order is the walk order as indices into
+    paths (probe failures go last, through the normal error path);
+    queues[(sr, nch)] is the in-order list of (size, (bpad, g_pin,
+    nb_pin)) chunks the flusher should cut."""
+    from ..decode import entropy_kernel as ek
+
+    buckets: dict = {}
+    unknown = []
+    for i, p in enumerate(paths):
+        probe = _probe_mp3(p)
+        if probe is None:
+            unknown.append(i)
+            continue
+        sr, nch, gch = probe
+        buckets.setdefault((sr, nch), []).append((i, gch))
+
+    queues: dict = {}
+    leads: list = []  # first chunk of each class: [(key, [idx...])]
+    rest: list = []
+    for key, members in sorted(buckets.items()):
+        sr, nch = key
+        members.sort(key=lambda t: t[1])
+        unit = 2 * nch
+
+        # Cut rows-capped chunks over the sorted members.
+        chunks = []
+        i = 0
+        while i < len(members):
+            c = min(len(members) - i, max_batch)
+            while c > 1:
+                g = _quantize_up(members[i + c - 1][1], unit,
+                                 base=512, ratio=1.3)
+                bpad = next((b for b in _B_LADDER if b >= c), c)
+                if bpad * g <= rows_cap:
+                    break
+                lower = [b for b in _B_LADDER if b < bpad]
+                c = min(c - 1, lower[-1] if lower else 1)
+            chunks.append(members[i : i + c])
+            i += c
+
+        # Classes by pinned g; every chunk adopts its class's key.
+        classes: dict = {}
+        for ch in chunks:
+            g = _quantize_up(ch[-1][1], unit, base=512, ratio=1.3)
+            classes.setdefault(g, []).append(ch)
+        for g, chs in classes.items():
+            bpad = max(
+                next((b for b in _B_LADDER if b >= len(ch)), len(ch))
+                for ch in chs
+            )
+            def _nbq(ch):
+                raw = max(1, -(-sum(m[1] for m in ch) // ek.LANES))
+                return (ek._cap(raw, ek.NB_CAPS)
+                        if raw <= ek.NB_CAPS[-1] else raw)
+
+            nb = max(_nbq(ch) for ch in chs)
+            force = (bpad, g, nb)
+            entries = [(len(ch), force, [m[0] for m in ch]) for ch in chs]
+            leads.append((key, entries[0]))
+            rest.extend((key, e) for e in entries[1:])
+
+    order: list = []
+    seq: dict = {}
+    for key, (size, force, idxs) in leads + rest:
+        order.extend(idxs)
+        seq.setdefault(key, []).append((size, force))
+    order.extend(unknown)
+    return order, seq
+
+
 def use_device_entropy(runner: MeshRunner) -> bool:
     return device_entropy_enabled(runner.n_devices)
 
@@ -1054,9 +1203,12 @@ def analyze_library(
     # thread, collect wait on the main thread, batch size).
     scan_time = bool(os.environ.get("MP3RGAIN_SCAN_TIME"))
 
-    def _timed_dispatch(ups, sr, nch):
+    def _timed_dispatch(ups, sr, nch, force=None):
         td0 = time.monotonic()
-        h = dispatch(ups, sr, nch)
+        if force is not None:
+            h = dispatch(ups, sr, nch, force_shapes=force)
+        else:
+            h = dispatch(ups, sr, nch)
         return h, time.monotonic() - td0
 
     def _est_resident_bytes(ups) -> int:
@@ -1238,7 +1390,7 @@ def analyze_library(
             c = min(c - 1, lower[-1] if lower else 1)
         return c
 
-    def flush_bucket(key, members):
+    def flush_bucket(key, members, force=None):
         sr, nch = key
         idxs = [i for i, _ in members]
         ups = [u for _, u in members]
@@ -1252,15 +1404,65 @@ def analyze_library(
         ):
             collect_one()
         inflight.append(
-            (uploader.submit(_timed_dispatch, ups, sr, nch), idxs, sr,
-             nch, ups, est)
+            (uploader.submit(_timed_dispatch, ups, sr, nch, force), idxs,
+             sr, nch, ups, est)
         )
 
     paths = list(paths)
+
+    # Big libraries get a planned walk: a cheap native header pre-scan
+    # pins one compile key per (bucket, length-class) and fronts each
+    # class's first batch, so cold scans start ALL their remote compiles
+    # in the first waves and remainder batches reuse class executables
+    # (see _plan_scan). Small scans and mesh/heavy paths keep the plain
+    # streaming walk.
+    rows_cap = int(os.environ.get("MP3RGAIN_BATCH_ROWS", 640_000))
+    plan_q: dict = {}
+    order = list(range(len(paths)))
+    if (
+        device_entropy
+        and runner.n_devices == 1
+        and len(paths) >= 2 * runner.max_batch
+        and not os.environ.get("MP3RGAIN_NO_SCAN_PLAN")
+    ):
+        order, plan_q = _plan_scan(paths, runner.max_batch, rows_cap)
+        plan_q = {k: list(v) for k, v in plan_q.items()}
+
+    def _flush_ready(key, members, final=False):
+        """Cut batches off a bucket: planned class chunks when a plan
+        queue exists (members arrive pre-sorted in plan order), else
+        length-sorted rows-capped chunks at max_batch granularity."""
+        q = plan_q.get(key)
+        while q and len(members) >= q[0][0]:
+            size, force = q.pop(0)
+            flush_bucket(key, members[:size], force)
+            del members[:size]
+        if q:
+            if final and members:
+                # Unpack failures left the last planned chunk short.
+                size, force = q.pop(0)
+                flush_bucket(key, members[:size], force)
+                del members[:size]
+            return
+        if not final:
+            if len(members) >= runner.max_batch:
+                members.sort(key=lambda iu: iu[1].n)
+                while len(members) >= runner.max_batch:
+                    c = _chunk_size(members, runner.max_batch)
+                    flush_bucket(key, members[:c])
+                    del members[:c]
+        else:
+            members.sort(key=lambda iu: iu[1].n)
+            while members:
+                c = _chunk_size(members, runner.max_batch)
+                flush_bucket(key, members[:c])
+                del members[:c]
+
     workers = min(max(len(paths), 1), os.cpu_count() or 1, 16)
     try:
-        for wstart in range(0, len(paths), wave_size):
-            wave = paths[wstart : wstart + wave_size]
+        for wstart in range(0, len(order), wave_size):
+            widx = order[wstart : wstart + wave_size]
+            wave = [paths[i] for i in widx]
             if workers > 1 and len(wave) > 1:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     unpacked = list(
@@ -1269,31 +1471,23 @@ def analyze_library(
             else:
                 unpacked = [_result_of(_unpack, p) for p in wave]
 
-            for i, (path, (u, err)) in enumerate(zip(wave, unpacked), wstart):
+            for i, path, (u, err) in zip(widx, wave, unpacked):
                 if err is not None:
                     outcomes[i] = TrackOutcome(path=str(path), ok=False, error=err)
                     continue
                 sr, nch = u.sample_rate, u.n_channels
                 buckets.setdefault((sr, nch), []).append((i, u))
                 audio_seconds += (u.n // nch) * 576 / sr
-            # Flush full batches at wave end, length-sorted: batching
-            # similar-length tracks shrinks each batch's padded g_max,
-            # which every manifest buffer (and its h2d bytes) scales
-            # with (AAC scan does the same).
+            # Flush ready batches at wave end (planned class chunks, or
+            # length-sorted full batches: batching similar-length tracks
+            # shrinks each batch's padded g_max, which every manifest
+            # buffer and its h2d bytes scale with).
             for key, members in buckets.items():
-                if len(members) >= runner.max_batch:
-                    members.sort(key=lambda iu: iu[1].n)
-                    while len(members) >= runner.max_batch:
-                        c = _chunk_size(members, runner.max_batch)
-                        flush_bucket(key, members[:c])
-                        del members[:c]
+                _flush_ready(key, members)
 
         for key, members in buckets.items():
-            members.sort(key=lambda iu: iu[1].n)
             while members:
-                c = _chunk_size(members, runner.max_batch)
-                flush_bucket(key, members[:c])
-                del members[:c]
+                _flush_ready(key, members, final=True)
         while inflight:
             collect_one()
     finally:

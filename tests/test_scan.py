@@ -237,6 +237,50 @@ def test_oom_dispatch_halves_and_recovers(library, monkeypatch):
         assert a.result.peak == pytest.approx(b.result.peak, abs=1e-12)
 
 
+def test_scan_plan_pins_class_shapes(library, monkeypatch):
+    """Big scans pre-plan: a native header probe pins one compile key
+    per length class and the walk leads with each class's first batch
+    (cold remote compiles all start early). Planned and unplanned walks
+    must produce identical results."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mp3rgain_tpu import parallel as pr
+    from mp3rgain_tpu.parallel import runner as rmod
+
+    monkeypatch.setenv("MP3RGAIN_DEVICE_ENTROPY", "1")
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+
+    runner = pr.MeshRunner(mesh=mesh, max_batch=8)
+    dispatched = []
+    real = runner.dispatch_light
+
+    def spy(ups, sr, nch, force_shapes=None):
+        dispatched.append((len(ups), force_shapes))
+        return real(ups, sr, nch, force_shapes=force_shapes)
+
+    monkeypatch.setattr(runner, "dispatch_light", spy)
+    res = rmod.analyze_library(library, runner=runner, device_entropy=True)
+    assert all(t.ok for t in res.tracks)
+    assert dispatched and all(f is not None for _, f in dispatched), (
+        "every planned batch must carry pinned class shapes"
+    )
+
+    monkeypatch.setenv("MP3RGAIN_NO_SCAN_PLAN", "1")
+    ref = rmod.analyze_library(
+        library, runner=pr.MeshRunner(mesh=mesh, max_batch=8),
+        device_entropy=True,
+    )
+    by_path = {t.path: t for t in ref.tracks}
+    for t in res.tracks:
+        assert t.result.gain_db == pytest.approx(
+            by_path[t.path].result.gain_db, abs=1e-9
+        )
+        assert t.result.peak == pytest.approx(
+            by_path[t.path].result.peak, abs=1e-12
+        )
+
+
 def test_compile_crash_isolates_not_dies(library, monkeypatch):
     """A remote-compile-helper crash (INTERNAL / HTTP 500 — observed
     when buffer assignment exhausts HBM during AOT compilation) is the
