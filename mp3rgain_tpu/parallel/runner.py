@@ -1119,6 +1119,31 @@ def _plan_scan(paths, max_batch: int, rows_cap: int):
         for ch in chunks:
             g = _quantize_up(ch[-1][1], unit, base=512, ratio=1.3)
             classes.setdefault(g, []).append(ch)
+        # Merge affordable classes upward: at low rates a bucket's whole
+        # span fits one key (64 x g_bucket_max under the rows cap), so
+        # shorter classes adopt the largest g — one ~45 s remote compile
+        # saved per merge, for a few MB of zero-padded info/scf h2d and
+        # some padded tail compute on the short batches (bounded by the
+        # 2.5x ratio guard).
+        if len(classes) > 1:
+            g_top = max(classes)
+            b_top = max(
+                next((b for b in _B_LADDER if b >= len(ch)), len(ch))
+                for ch in classes[g_top]
+            )
+            for g in sorted(classes):
+                if g == g_top:
+                    continue
+                b_here = max(
+                    next((bb for bb in _B_LADDER if bb >= len(ch)),
+                         len(ch))
+                    for ch in classes[g]
+                )
+                b_merged = max(b_top, b_here)
+                if b_merged * g_top <= rows_cap and g_top <= 2.5 * g:
+                    classes[g_top] = classes[g] + classes[g_top]
+                    del classes[g]
+                    b_top = b_merged
         for g, chs in classes.items():
             bpad = max(
                 next((b for b in _B_LADDER if b >= len(ch)), len(ch))
