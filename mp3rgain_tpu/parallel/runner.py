@@ -535,6 +535,12 @@ def prepare_batch_arrays_light(
     scf = bufpool.take_zeroed(
         (bpad, g_max, scf_slots), np.uint8 if nibble else np.int8
     )
+    # Per-track fills, deliberately NOT vectorized over the batch: the
+    # batched variant (one pack over the track concatenation) allocates
+    # ~400 MB of fresh temporaries per batch and measured 3x SLOWER on
+    # this VM class, where first-touch page faults dominate big fresh
+    # allocations; the small per-track temporaries recycle in glibc
+    # fast bins instead.
     side_rows: list = []
     side_data: list = []
     for i, u in enumerate(unpacked):

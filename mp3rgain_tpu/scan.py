@@ -91,17 +91,35 @@ def _file_key(path) -> str:
 
 
 class Manifest:
-    """JSON checkpoint for scan resume (path -> analysis results)."""
+    """JSON checkpoint for scan resume (path -> analysis results).
+
+    Durability model: per-batch checkpoints append to a sidecar journal
+    (O(batch) per save — rewriting the whole snapshot after every batch
+    of a 1k-track scan cost several seconds of the single host core);
+    the final save compacts snapshot + journal into the JSON file. A
+    killed scan resumes every batch that was collected."""
 
     def __init__(self, path: str | os.PathLike | None):
         self.path = str(path) if path else None
         self.data = {}
+        self._pending: list = []
         if self.path and os.path.exists(self.path):
             try:
                 with open(self.path) as f:
                     self.data = json.load(f)
             except (OSError, json.JSONDecodeError):
                 self.data = {}
+        if self.path and os.path.exists(self.path + ".journal"):
+            try:
+                with open(self.path + ".journal") as f:
+                    for line in f:
+                        try:
+                            rec = json.loads(line)
+                            self.data[rec["p"]] = rec["r"]
+                        except (json.JSONDecodeError, KeyError):
+                            break  # torn tail write from a kill
+            except OSError:
+                pass
 
     def lookup(self, path) -> tuple[ReplayGainResult, np.ndarray] | None:
         if not self.path:
@@ -125,7 +143,7 @@ class Manifest:
         if not self.path:
             return
         nz = np.nonzero(hist)[0]
-        self.data[str(path)] = {
+        rec = {
             "key": _file_key(path),
             "loudness_db": res.loudness_db,
             "gain_db": res.gain_db,
@@ -134,14 +152,31 @@ class Manifest:
             "file_type": res.file_type,
             "hist": [[int(i), int(hist[i])] for i in nz],
         }
+        self.data[str(path)] = rec
+        self._pending.append((str(path), rec))
 
-    def save(self) -> None:
+    def save(self, force: bool = True) -> None:
+        """Persist to disk. force=False appends the pending records to
+        the journal (cheap, per-batch); force=True compacts everything
+        into the JSON snapshot and clears the journal."""
         if not self.path:
+            return
+        if not force:
+            if self._pending:
+                with open(self.path + ".journal", "a") as f:
+                    for p, rec in self._pending:
+                        f.write(json.dumps({"p": p, "r": rec}) + "\n")
+                self._pending.clear()
             return
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.data, f)
         os.replace(tmp, self.path)
+        self._pending.clear()
+        try:
+            os.remove(self.path + ".journal")
+        except OSError:
+            pass
 
 
 def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
@@ -192,7 +227,7 @@ def scan_files(paths, manifest_path=None, progress_cb=None) -> ScanResult:
             for track, hist in zip(done_tracks, hists):
                 track.histogram = hist
                 manifest.store(track.path, track.result, hist)
-            manifest.save()
+            manifest.save(force=False)
 
         def _checkpoint(done_tracks):
             import jax.numpy as jnp
@@ -334,7 +369,8 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
                 progress_cb(str(p))
         # Checkpoint after every collected batch so a killed scan
         # resumes from the last batch, not from zero (MP3 path parity).
-        manifest.save()
+        # Journal append — the full snapshot lands at scan end.
+        manifest.save(force=False)
 
     def flush_bucket(key, members):
         sr, nch = key

@@ -87,8 +87,10 @@ def test_killed_scan_resumes_from_last_batch(library, tmp_path, monkeypatch):
     with pytest.raises(KeyboardInterrupt):
         scan.scan_files(library, manifest_path=manifest)
 
-    assert manifest.exists()
-    saved = json.loads(manifest.read_text())
+    # Both collected batches must be durable (snapshot + journal — the
+    # per-batch checkpoint appends to a journal; full snapshots are
+    # end-of-scan only).
+    saved = scan.Manifest(manifest).data
     assert len(saved) == 8  # two collected batches of 4
 
     monkeypatch.setattr(pr, "analyze_library", real_analyze)
