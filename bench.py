@@ -139,13 +139,13 @@ def main() -> None:
         prep_dt = None
         for _ in range(3):
             t0 = time.monotonic()
-            prep, rest = prepare_batch_arrays_light(
+            prep, rest, g_max = prepare_batch_arrays_light(
                 [u_light] * BATCH_TRACKS, nch, 1
             )
             dt = time.monotonic() - t0
             prep_dt = dt if prep_dt is None else min(prep_dt, dt)
             if _ < 2:
-                bufpool.give(prep.buf, prep.meta, rest[1], rest[4])
+                bufpool.give(prep.buf, prep.meta, rest[1], rest[6])
                 del prep, rest
         args = (prep.scalars, prep.buf, prep.meta, prep.inv) + rest
         # Steady-state h2d (third transfer, best-of-warm): the first put
@@ -183,12 +183,12 @@ def main() -> None:
 
         core = partial(
             _analysis_core_light,
-            nb=prep.nb,
+            nb=prep.nb, g_max=g_max,
             n_channels=nch, sample_rate=sr, dtype=jnp.float32,
         )
 
         def perturbed(bump, scalars, buf, metab, inv, counts, scf, srow,
-                      sdata, info, valid):
+                      sdata, hrow, hdata, info, valid):
             # Perturb downstream of nothing: info feeds the tail, but the
             # whole pipeline is one executable, so every layer (incl. the
             # Pallas entropy stage) re-executes for each distinct input.
@@ -198,7 +198,7 @@ def main() -> None:
                 info[..., 0] ^ (bump % 3).astype(info.dtype)
             )
             return core(scalars, buf, metab, inv, counts, scf, srow,
-                        sdata, info, valid)
+                        sdata, hrow, hdata, info, valid)
 
         fn = jax.jit(perturbed)
         label = "device pipeline (entropy+synthesis+DSP on-chip)"

@@ -106,13 +106,13 @@ def _single_track_fn(n_channels: int, sample_rate: int, dtype):
 
 @lru_cache(maxsize=None)
 def _single_track_fn_light(n_channels: int, sample_rate: int, dtype,
-                           nb: int, interpret: bool):
+                           nb: int, g_max: int, interpret: bool):
     from .parallel.runner import _analysis_core_light
 
     return jax.jit(
         partial(
             _analysis_core_light,
-            nb=nb,
+            nb=nb, g_max=g_max,
             n_channels=n_channels, sample_rate=sample_rate,
             dtype=dtype, interpret=interpret,
         )
@@ -136,9 +136,9 @@ def _analyze_mp3_on_device(path, dtype):
         if u.n == 0:
             raise AnalysisError("No valid MP3 frames found")
         sr, nch = u.sample_rate, u.n_channels
-        prep, rest = prepare_batch_arrays_light([u], nch)
+        prep, rest, g_max = prepare_batch_arrays_light([u], nch)
         fn = _single_track_fn_light(
-            nch, sr, dtype, prep.nb,
+            nch, sr, dtype, prep.nb, g_max,
             jax.default_backend() != "tpu",
         )
         hist, loud_idx, peak = fn(prep.scalars, prep.buf, prep.meta,
@@ -146,7 +146,7 @@ def _analyze_mp3_on_device(path, dtype):
         jax.block_until_ready((hist, loud_idx, peak))
         from .utils import bufpool
 
-        bufpool.give(prep.buf, prep.meta, *rest[:3])
+        bufpool.give(prep.buf, prep.meta, rest[1], rest[6])
     else:
         u = frontend.unpack_file(path)
         if u.n == 0:

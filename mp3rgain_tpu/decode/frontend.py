@@ -85,39 +85,44 @@ def pack_info_light(info: np.ndarray) -> np.ndarray:
     return np.stack([w0, w1], axis=1).astype(np.uint16)
 
 
-def pack_scf_nibble(scf: np.ndarray) -> np.ndarray:
-    """Pack (n, 64) scalefactor slots two-per-byte into (n, 32) uint8.
-
-    Valid for MPEG-1 streams only (sample rate >= 32 kHz): slen is at
-    most 4 bits there, so every slot value fits a nibble. LSF streams
-    (slen up to 5 bits in intensity mode) keep the unpacked int8 form.
-    """
-    return ((scf[:, 0::2] << 4) | (scf[:, 1::2] & 15)).astype(np.uint8)
-
-
-# Split scalefactor transfer form (MPEG-1 light path): long-block
-# scalefactors occupy slots 0..22 only (SCF_LONG layout above), so the
-# dense per-gch payload carries just slots 0..23 nibble-packed (12
-# bytes instead of 32); the short-window slots 24..63 — nonzero only
-# for block_type 2 granules, a small minority of real content — travel
-# as a sparse sideband of (flat row index, 20 packed bytes) expanded by
-# one device row-scatter (parallel.runner._unpack_scf_light). Slot 23
-# (short sfb 0, window 0) rides in the dense part for both kinds.
+# Split scalefactor transfer form (light path, MPEG-1 AND LSF): long-
+# block scalefactors occupy slots 0..22 only (SCF_LONG layout above),
+# so the dense per-gch payload carries just slots 0..23 as low nibbles
+# (12 bytes instead of 64); the short-window slots 24..63 — nonzero
+# only for block_type 2 granules, a small minority of real content —
+# travel as a sparse sideband of (flat row index, 20 packed bytes).
+# Slot values >= 16 (reachable only through the LSF intensity-channel
+# sf < 360 case, where slen is 5 bits — everything else in both
+# MPEG-1 and LSF fits a nibble) set a bit in a second, rarer sideband
+# of 8-byte row bitmasks (bit s%8 of byte s//8 adds 16 to slot s).
+# Device expansion: parallel.runner._expand_scf_flat.
 SCF_MAIN_BYTES = 12
 SCF_SIDE_BYTES = 20
+SCF_HI_BYTES = 8
 
 
-def pack_scf_split(scf: np.ndarray):
-    """(n, 64) int32 → (main (n, 12) uint8, rows (k,) int32 of gch with
-    nonzero short slots, side (k, 20) uint8 nibble-packed slots 24..63).
-    MPEG-1 only (nibble range), like pack_scf_nibble."""
-    sc = scf[:, :24]
-    main = ((sc[:, 0::2] << 4) | (sc[:, 1::2] & 15)).astype(np.uint8)
-    hi = scf[:, 24:]
-    rows = np.nonzero(hi.any(axis=1))[0].astype(np.int32)
-    hr = hi[rows]
-    side = ((hr[:, 0::2] << 4) | (hr[:, 1::2] & 15)).astype(np.uint8)
-    return main, rows, side
+def pack_scf_rows(scf: np.ndarray):
+    """(n, 64) int scalefactor slots → flat split transfer form.
+
+    Returns (main (n, 12) uint8 low nibbles of slots 0..23,
+    srows (k,) int32, sdata (k, 20) uint8 low nibbles of slots 24..63,
+    hrows (m,) int32, hmask (m, 8) uint8 bit-4 row bitmasks)."""
+    if scf.size and int(scf.max()) > 31:
+        raise ValueError("scalefactor slot exceeds 5 bits")
+    lo = (scf & 15).astype(np.uint8)
+    sc = lo[:, :24]
+    main = (sc[:, 0::2] << 4) | sc[:, 1::2]
+    short = lo[:, 24:]
+    srows = np.nonzero(short.any(axis=1))[0].astype(np.int32)
+    hr = short[srows]
+    sdata = (hr[:, 0::2] << 4) | hr[:, 1::2]
+    hb = scf >= 16
+    hrows = np.nonzero(hb.any(axis=1))[0].astype(np.int32)
+    bits = hb[hrows].reshape(-1, SCF_HI_BYTES, 8).astype(np.uint8)
+    hmask = (bits << np.arange(8, dtype=np.uint8)).sum(
+        axis=2, dtype=np.uint8
+    )
+    return main, srows, sdata, hrows, hmask
 
 _lib.mg_mp3_unpack.restype = ctypes.c_int64
 _lib.mg_mp3_unpack.argtypes = [

@@ -126,37 +126,30 @@ def _expand_info_light(packed):
     return jnp.stack(cols, axis=-1)
 
 
-def _unpack_scf(scf):
-    """Device-side unpack of nibble-packed scalefactors (fe.
-    pack_scf_nibble): (…, 32) uint8 → (…, 64) int32. Unpacked int8
-    arrays (LSF batches, the heavy path) pass through unchanged."""
-    if scf.shape[-1] == fe.SCF_SLOTS:
-        return scf
+def _expand_scf_flat(scf, srow, sdata, hrow, hdata):
+    """Expand the flat split scalefactor transfer form (fe.pack_scf_rows,
+    packed back-to-back in kernel-row order): dense (npad, 12) uint8
+    nibbles of slots 0..23, a sparse short-window sideband (srow flat
+    row index — npad is the dummy padding target — and sdata (S, 20)
+    uint8 nibbles of slots 24..63), and a sparse high-bit sideband
+    (hrow, hdata (H, 8) uint8 bitmasks adding 16 to flagged slots; only
+    the LSF intensity 5-bit case populates it). Returns the (npad + 1,
+    64) int32 slot tensor — row npad is the zero dummy the rowmap's
+    padding slots gather."""
+    npad = scf.shape[0]
     s = scf.astype(jnp.int32)
-    pair = jnp.stack([(s >> 4) & 15, s & 15], axis=-1)
-    return pair.reshape(scf.shape[:-1] + (fe.SCF_SLOTS,))
-
-
-def _unpack_scf_light(scf, srow, sdata):
-    """Expand the split scalefactor transfer form (fe.pack_scf_split):
-    dense (B, G, 12) uint8 nibbles of slots 0..23 plus a sparse
-    short-window sideband (srow flat gch index — B*G is the dummy
-    padding target — and sdata (S, 20) uint8 nibbles of slots 24..63)
-    into the full (B, G, 64) int32 slot tensor. LSF batches ship
-    unpacked (B, G, 64) int8 and pass through."""
-    if scf.shape[-1] == fe.SCF_SLOTS:
-        return scf
-    bsz, g = scf.shape[0], scf.shape[1]
-    s = scf.astype(jnp.int32)
-    lo = jnp.stack([(s >> 4) & 15, s & 15], axis=-1).reshape(bsz * g, 24)
+    lo = jnp.stack([(s >> 4) & 15, s & 15], axis=-1).reshape(npad, 24)
     d = sdata.astype(jnp.int32)
     hi = jnp.stack([(d >> 4) & 15, d & 15], axis=-1).reshape(
         d.shape[0], fe.SCF_SLOTS - 24
     )
-    full = jnp.zeros((bsz * g + 1, fe.SCF_SLOTS), jnp.int32)
-    full = full.at[: bsz * g, :24].set(lo)
+    full = jnp.zeros((npad + 1, fe.SCF_SLOTS), jnp.int32)
+    full = full.at[:npad, :24].set(lo)
     full = full.at[srow, 24:].set(hi)
-    return full[: bsz * g].reshape(bsz, g, fe.SCF_SLOTS)
+    m = hdata.astype(jnp.int32)
+    bits = ((m[:, :, None] >> jnp.arange(8, dtype=jnp.int32)) & 1)
+    full = full.at[hrow].add(16 * bits.reshape(m.shape[0], fe.SCF_SLOTS))
+    return full
 
 
 def _analysis_tail(spectrum, scf, info, valid_samples,
@@ -221,15 +214,19 @@ def _rowmap_from_counts(counts, g_max: int, npad: int):
     )
 
 
-def _light_tail(spec_b, mout, inv, counts, scf, srow, sdata, info,
-                valid_samples,
-                *, nb: int, n_channels: int, sample_rate: int, dtype,
-                fused: bool = False, interpret: bool = False):
+def _light_tail(spec_b, mout, inv, counts, scf, srow, sdata, hrow, hdata,
+                info, valid_samples,
+                *, nb: int, g_max: int, n_channels: int, sample_rate: int,
+                dtype, fused: bool = False, interpret: bool = False):
     """Raw-bits pipeline tail: sorted kernel outputs → analysis results.
 
     Dispatched as its own executable in production (dispatch_light): the
     entropy stage's ragged-buffer length then only keys the small Pallas
     program, not this (much larger) synthesis+IIR+histogram graph.
+    scf/info arrive FLAT (npad rows, tracks packed back-to-back in
+    kernel-row order — no per-track g_max padding travels over h2d) and
+    are gathered to (B, G, …) through the same counts-derived rowmap as
+    the spectrum; g_max is therefore a static arg, not an array shape.
     fused=True routes the requantize→stereo→hybrid span through the
     Pallas block-resident kernel (decode/hybrid_kernel) instead of the
     XLA formulation — same math, different rounding (the XLA path is the
@@ -237,8 +234,12 @@ def _light_tail(spec_b, mout, inv, counts, scf, srow, sdata, info,
     from ..decode import entropy_kernel as ek
 
     spec, big_end, c1end, _ok = ek.unsort_blocks(spec_b, mout, inv, nb=nb)
-    rowmap = _rowmap_from_counts(counts, scf.shape[1], nb * ek.LANES)
-    scf = _unpack_scf_light(scf, srow, sdata)
+    npad = nb * ek.LANES
+    rowmap = _rowmap_from_counts(counts, g_max, npad)
+    scf = _expand_scf_flat(scf, srow, sdata, hrow, hdata)[rowmap]
+    info = jnp.concatenate(
+        [info.astype(jnp.int32), jnp.zeros((1, fe.IP_N), jnp.int32)]
+    )[rowmap]
     # Row npad is the dummy target for padding slots.
     zrow = jnp.zeros((1, 576), spec.dtype)
     spec = jnp.concatenate([spec, zrow], axis=0)
@@ -293,8 +294,8 @@ def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
     wp = wp.transpose(2, 0, 1, 3)
     w0 = wp[..., 0]
     w1 = wp[..., 1]
-    # scf arrives fully expanded ((B, G, 64); _unpack_scf_light ran in
-    # _light_tail before the branch).
+    # scf arrives fully expanded ((B, G, 64); _expand_scf_flat + the
+    # rowmap gather ran in _light_tail before the branch).
     scf_cm = scf.reshape(bsz, t, nch, -1).transpose(2, 0, 1, 3)
 
     bt = (w0 >> 8) & 3
@@ -380,9 +381,9 @@ def _analysis_tail_fused(spec, big_end, c1end, rowmap, scf, info,
 
 
 def _analysis_core_light(scalars, buf, metab, inv, counts, scf, srow,
-                         sdata, info, valid_samples, *,
-                         nb: int, n_channels: int, sample_rate: int,
-                         dtype, fused: bool = False,
+                         sdata, hrow, hdata, info, valid_samples, *,
+                         nb: int, g_max: int, n_channels: int,
+                         sample_rate: int, dtype, fused: bool = False,
                          interpret: bool = False):
     """Raw-bits batched pipeline: device entropy decode + analysis tail.
 
@@ -399,8 +400,10 @@ def _analysis_core_light(scalars, buf, metab, inv, counts, scf, srow,
     spec_b, mout = ek.decode_blocks(scalars, buf, metab, nb=nb,
                                     interpret=interpret)
     return _light_tail(
-        spec_b, mout, inv, counts, scf, srow, sdata, info, valid_samples,
-        nb=nb, n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
+        spec_b, mout, inv, counts, scf, srow, sdata, hrow, hdata, info,
+        valid_samples,
+        nb=nb, g_max=g_max, n_channels=n_channels,
+        sample_rate=sample_rate, dtype=dtype,
         fused=fused, interpret=interpret,
     )
 
@@ -489,17 +492,23 @@ def prepare_batch_arrays_light(
     """Pack light-unpacked tracks for _analysis_core_light.
 
     Returns (prep: PreparedEntropy,
-    (counts, scf, srow, sdata, info, valid_samples)).
-    counts[b] is track b's granule-channel record count; the (B, G) map
-    from padded track-granule slots to kernel output rows is derived on
-    device (_rowmap_from_counts — tracks pack back-to-back in input
-    order, so the counts carry the whole map). scf/srow/sdata are the
-    split scalefactor transfer form (fe.pack_scf_split; srow's padding
-    entries point at the device dummy row bpad*g_max).
-    force_shapes = (bpad, g_max, nb, g_pad, s_pad) pins all static
-    shapes so independently prepared shards share one executable. The
-    big arrays (buf, meta, scf, info) come from the shared buffer pool —
-    dispatchers hand them back once the h2d transfer has committed."""
+    (counts, scf, srow, sdata, hrow, hdata, info, valid_samples),
+    g_max). counts[b] is track b's granule-channel record count; the
+    (B, G) map from padded track-granule slots to kernel output rows is
+    derived on device (_rowmap_from_counts — tracks pack back-to-back
+    in input order, so the counts carry the whole map). scf and info
+    ship FLAT in the same back-to-back row order — (npad, 12) uint8
+    nibbles / (npad, 2) uint16 words for npad = nb*LANES — so the h2d
+    payload carries no per-track g_max padding at all; the device
+    gathers both through the rowmap it already builds for the spectrum.
+    srow/sdata + hrow/hdata are the split-scf sidebands
+    (fe.pack_scf_rows; padding entries point at the dummy row npad).
+    g_max (static, quantized) sizes the device rowmap.
+    force_shapes = (bpad, g_max, nb, g_pad, s_pad, h_pad) pins all
+    static shapes so independently prepared shards share one
+    executable. The big arrays (buf, meta, scf, info) come from the
+    shared buffer pool — dispatchers hand them back once the h2d
+    transfer has committed."""
     from ..decode import entropy_kernel as ek
     from ..utils import bufpool
 
@@ -509,32 +518,23 @@ def prepare_batch_arrays_light(
     g_max = _quantize_up(g_max, unit, base=512, ratio=1.3)
     bpad = next((b for b in _B_LADDER if b >= bsz), bsz)
     bpad = -(-bpad // pad_batch_to) * pad_batch_to
-    force_nb = force_g = force_s = None
+    force_nb = force_g = force_s = force_h = None
     if force_shapes is not None:
-        bpad, g_max, force_nb, force_g, force_s = force_shapes
+        bpad, g_max, force_nb, force_g, force_s, force_h = force_shapes
 
     prep = ek.prepare_batch(
         [u.md for u in unpacked], [u.meta for u in unpacked],
         quantize_nb=True, force_nb=force_nb, force_g_pad=force_g,
     )
+    npad = prep.nb * ek.LANES
 
     counts = np.zeros(bpad, np.int32)
     counts[:bsz] = [u.n for u in unpacked]
-    # Device-read info fields travel packed: 2 uint16 words per gch
-    # (fe.pack_info_light; expanded on device by _expand_info_light).
-    info = bufpool.take_zeroed((bpad, g_max, fe.IP_N), np.uint16)
-    # MPEG-1 scalefactors fit 4 bits each and ship split: a dense
-    # 12-byte nibble row of long slots 0..23 plus a sparse short-window
-    # sideband (fe.pack_scf_split). LSF streams (slen up to 5 bits)
-    # keep the unpacked int8 form with an empty sideband. The sample
-    # rate decides the MPEG version, and batches are bucketed by sample
-    # rate, so the transfer form is uniform within a batch (and the
-    # tail executable is keyed by sample_rate + shapes already).
-    nibble = unpacked and unpacked[0].sample_rate >= 32000
-    scf_slots = fe.SCF_MAIN_BYTES if nibble else fe.SCF_SLOTS
-    scf = bufpool.take_zeroed(
-        (bpad, g_max, scf_slots), np.uint8 if nibble else np.int8
-    )
+    # Device-read info fields travel packed (2 uint16 words per gch,
+    # fe.pack_info_light) and flat (back-to-back rows, no g_max pad);
+    # scalefactors travel as the flat split form (fe.pack_scf_rows).
+    info = bufpool.take_zeroed((npad, fe.IP_N), np.uint16)
+    scf = bufpool.take_zeroed((npad, fe.SCF_MAIN_BYTES), np.uint8)
     # Per-track fills, deliberately NOT vectorized over the batch: the
     # batched variant (one pack over the track concatenation) allocates
     # ~400 MB of fresh temporaries per batch and measured 3x SLOWER on
@@ -543,32 +543,47 @@ def prepare_batch_arrays_light(
     # fast bins instead.
     side_rows: list = []
     side_data: list = []
-    for i, u in enumerate(unpacked):
-        info[i, : u.n] = fe.pack_info_light(u.info)
-        if nibble:
-            main, rows, side = fe.pack_scf_split(u.scf)
-            scf[i, : u.n] = main
-            if len(rows):
-                side_rows.append(rows + i * g_max)
-                side_data.append(side)
-        else:
-            scf[i, : u.n] = u.scf
-    n_side = int(sum(len(r) for r in side_rows))
-    s_pad = _quantize_up(max(n_side, 1), 8, base=256, ratio=4.0)
-    if force_s is not None:
-        assert force_s >= s_pad or force_s >= n_side, (force_s, n_side)
-        s_pad = max(force_s, s_pad) if force_s < s_pad else force_s
-    # Padding entries scatter zero rows into the dummy slot bpad*g_max.
-    srow = np.full(s_pad, bpad * g_max, np.int32)
-    sdata = np.zeros((s_pad, fe.SCF_SIDE_BYTES), np.uint8)
-    if n_side:
-        srow[:n_side] = np.concatenate(side_rows)
-        sdata[:n_side] = np.concatenate(side_data)
+    hi_rows: list = []
+    hi_data: list = []
+    off = 0
+    for u in unpacked:
+        info[off : off + u.n] = fe.pack_info_light(u.info)
+        main, rows, side, hrows_t, hmask_t = fe.pack_scf_rows(u.scf)
+        scf[off : off + u.n] = main
+        if len(rows):
+            side_rows.append(rows + off)
+            side_data.append(side)
+        if len(hrows_t):
+            hi_rows.append(hrows_t + off)
+            hi_data.append(hmask_t)
+        off += u.n
+
+    def _sideband(rows_l, data_l, width, force, base):
+        n = int(sum(len(r) for r in rows_l))
+        pad = _quantize_up(max(n, 1), 8, base=base, ratio=4.0)
+        if force is not None:
+            assert force >= pad or force >= n, (force, n)
+            pad = max(force, pad) if force < pad else force
+        # Padding entries scatter zero rows into the dummy slot npad.
+        rows = np.full(pad, npad, np.int32)
+        data = np.zeros((pad, width), np.uint8)
+        if n:
+            rows[:n] = np.concatenate(rows_l)
+            data[:n] = np.concatenate(data_l)
+        return rows, data
+
+    srow, sdata = _sideband(
+        side_rows, side_data, fe.SCF_SIDE_BYTES, force_s, base=256
+    )
+    hrow, hdata = _sideband(
+        hi_rows, hi_data, fe.SCF_HI_BYTES, force_h, base=64
+    )
     valid_samples = np.array(
         [u.n // n_channels * 576 for u in unpacked] + [0] * (bpad - bsz),
         dtype=np.int32,
     )
-    return prep, (counts, scf, srow, sdata, info, valid_samples)
+    return prep, (counts, scf, srow, sdata, hrow, hdata, info,
+                  valid_samples), g_max
 
 
 def prepare_batch_arrays_light_sharded(
@@ -577,7 +592,7 @@ def prepare_batch_arrays_light_sharded(
     """Round-robin shard tracks and prepare every shard with IDENTICAL
     static shapes, ready to stack on a leading device axis for
     shard_map dispatch. Returns (args: tuple of (D, ...) np arrays,
-    (nb, w8_cap), shard_index) where shard_index[d][j] is the original
+    nb, g_max, shard_index) where shard_index[d][j] is the original
     track index of shard d's j-th track."""
     order = sorted(range(len(unpacked)), key=lambda i: unpacked[i].n,
                    reverse=True)
@@ -591,19 +606,21 @@ def prepare_batch_arrays_light_sharded(
         prepare_batch_arrays_light(s, n_channels) for s in shards
     ]
     bpad = max(r[1][0].shape[0] for r in first)
-    g_max = max(r[1][1].shape[1] for r in first)
+    g_max = max(r[2] for r in first)
     nb = max(r[0].nb for r in first)
     g_pad = max(r[0].g_pad for r in first)
     s_pad = max(r[1][2].shape[0] for r in first)
+    h_pad = max(r[1][4].shape[0] for r in first)
     results = []
     for s, r in zip(shards, first):
-        prep, rest = r
-        if (rest[1].shape[:2] != (bpad, g_max) or prep.nb != nb
-                or prep.g_pad != g_pad or rest[2].shape[0] != s_pad):
-            bufpool.give(prep.buf, prep.meta, rest[1], rest[4])
-            prep, rest = prepare_batch_arrays_light(
+        prep, rest, g_here = r
+        if (rest[0].shape[0] != bpad or g_here != g_max or prep.nb != nb
+                or prep.g_pad != g_pad or rest[2].shape[0] != s_pad
+                or rest[4].shape[0] != h_pad):
+            bufpool.give(prep.buf, prep.meta, rest[1], rest[6])
+            prep, rest, _ = prepare_batch_arrays_light(
                 s, n_channels,
-                force_shapes=(bpad, g_max, nb, g_pad, s_pad),
+                force_shapes=(bpad, g_max, nb, g_pad, s_pad, h_pad),
             )
         results.append((prep, rest))
 
@@ -616,11 +633,11 @@ def prepare_batch_arrays_light_sharded(
         stack(lambda p, r: p.meta),
         stack(lambda p, r: p.inv),
     ) + tuple(
-        stack(lambda p, r, j=j: r[j]) for j in range(6)
+        stack(lambda p, r, j=j: r[j]) for j in range(8)
     )
     for p, r in results:
-        bufpool.give(p.buf, p.meta, r[1], r[4])
-    return args, nb, shard_index
+        bufpool.give(p.buf, p.meta, r[1], r[6])
+    return args, nb, g_max, shard_index
 
 
 # ---------------------------------------------------------------------------
@@ -665,10 +682,10 @@ def _single_device_pipeline(n_channels: int, sample_rate: int, dtype):
 
 @lru_cache(maxsize=None)
 def _light_pipeline(n_channels: int, sample_rate: int,
-                    nb: int, dtype, interpret: bool):
+                    nb: int, g_max: int, dtype, interpret: bool):
     core = partial(
         _analysis_core_light,
-        nb=nb,
+        nb=nb, g_max=g_max,
         n_channels=n_channels, sample_rate=sample_rate,
         dtype=dtype, interpret=interpret,
     )
@@ -676,11 +693,12 @@ def _light_pipeline(n_channels: int, sample_rate: int,
 
 
 @lru_cache(maxsize=None)
-def _light_tail_pipeline(n_channels: int, sample_rate: int, nb: int, dtype,
+def _light_tail_pipeline(n_channels: int, sample_rate: int, nb: int,
+                         g_max: int, dtype,
                          fused: bool = False, interpret: bool = False):
     core = partial(
         _light_tail,
-        nb=nb,
+        nb=nb, g_max=g_max,
         n_channels=n_channels, sample_rate=sample_rate, dtype=dtype,
         fused=fused, interpret=interpret,
     )
@@ -746,27 +764,28 @@ class MeshRunner:
         self._jitted[key] = run
         return run
 
-    def _pipeline_light(self, n_channels: int, sample_rate: int, nb: int):
+    def _pipeline_light(self, n_channels: int, sample_rate: int, nb: int,
+                        g_max: int):
         """Raw-bits pipeline (device entropy decode). Single-device only:
         the Pallas grid already spans the whole batch; data parallelism
         over a mesh keeps the host-decoded path (analyze_unpacked)."""
         interpret = jax.default_backend() != "tpu"
         return _light_pipeline(
-            n_channels, sample_rate, nb, self.dtype, interpret
+            n_channels, sample_rate, nb, g_max, self.dtype, interpret
         )
 
     def _pipeline_light_sharded(self, n_channels: int, sample_rate: int,
-                                nb: int):
+                                nb: int, g_max: int):
         """Raw-bits pipeline over the dp mesh: each device runs its own
         Pallas entropy grid + analysis tail on its shard (cached per
         instance — the mesh is part of the closure)."""
         interpret = jax.default_backend() != "tpu"
-        key = ("light-sh", n_channels, sample_rate, nb, interpret)
+        key = ("light-sh", n_channels, sample_rate, nb, g_max, interpret)
         if key in self._jitted:
             return self._jitted[key]
         core = partial(
             _analysis_core_light,
-            nb=nb,
+            nb=nb, g_max=g_max,
             n_channels=n_channels, sample_rate=sample_rate,
             dtype=self.dtype, interpret=interpret,
         )
@@ -799,12 +818,14 @@ class MeshRunner:
         """Enqueue a raw-bits batch sharded over the dp mesh."""
         if len(unpacked) < self.n_devices:
             return self.dispatch_light(unpacked, sample_rate, n_channels)
-        args, nb, shard_index = prepare_batch_arrays_light_sharded(
+        args, nb, g_max, shard_index = prepare_batch_arrays_light_sharded(
             unpacked, n_channels, self.n_devices
         )
         sharding = NamedSharding(self.mesh, P("dp"))
         dev_args = [jax.device_put(a, sharding) for a in args]
-        run = self._pipeline_light_sharded(n_channels, sample_rate, nb)
+        run = self._pipeline_light_sharded(
+            n_channels, sample_rate, nb, g_max
+        )
         hist, loud_idx, peak = run(*dev_args)  # (D, B, ...)
         return ("sharded", hist, loud_idx, peak, shard_index,
                 len(unpacked))
@@ -854,9 +875,9 @@ class MeshRunner:
             )
             full_force = (
                 max(bpad_f, b_req), max(g_f, g_req), max(nb_f, nb_req),
-                None, None,
+                None, None, None,
             )
-        prep, (counts, scf, srow, sdata, info, valid) = (
+        prep, (counts, scf, srow, sdata, hrow, hdata, info, valid), g_max = (
             prepare_batch_arrays_light(
                 unpacked, n_channels, 1, force_shapes=full_force
             )
@@ -867,11 +888,11 @@ class MeshRunner:
         spec_b, mout = ek.decode_blocks(*dev1, nb=prep.nb,
                                         interpret=interpret)
         mark("entropy_launch")
-        dev2 = jax.device_put((prep.inv, counts, scf, srow, sdata, info,
-                               valid))
+        dev2 = jax.device_put((prep.inv, counts, scf, srow, sdata, hrow,
+                               hdata, info, valid))
         mark("put2")
         tail = _light_tail_pipeline(n_channels, sample_rate, prep.nb,
-                                    self.dtype, use_fused_hybrid(),
+                                    g_max, self.dtype, use_fused_hybrid(),
                                     interpret)
         hist, loud_idx, peak = tail(spec_b, mout, *dev2)
         mark("tail_launch")

@@ -35,7 +35,7 @@ def _mp3(sr, mode, bitrate, ch, seed, seconds=0.5):
 
 def _run_both(datas, sr, nch):
     ups = [fe.unpack_data_light(d) for d in datas]
-    prep, (counts, scf, srow, sdata, info, valid) = (
+    prep, (counts, scf, srow, sdata, hrow, hdata, info, valid), g_max = (
         pr.prepare_batch_arrays_light(ups, nch, 1)
     )
     spec_b, mout = ek.decode_blocks(
@@ -47,8 +47,9 @@ def _run_both(datas, sr, nch):
         hist, loud_idx, peak = pr._light_tail(
             spec_b, mout, jnp.asarray(prep.inv), jnp.asarray(counts),
             jnp.asarray(scf), jnp.asarray(srow), jnp.asarray(sdata),
+            jnp.asarray(hrow), jnp.asarray(hdata),
             jnp.asarray(info), jnp.asarray(valid),
-            nb=prep.nb, n_channels=nch, sample_rate=sr,
+            nb=prep.nb, g_max=g_max, n_channels=nch, sample_rate=sr,
             dtype=jnp.float32, fused=fused, interpret=True,
         )
         out.append((np.asarray(hist), np.asarray(loud_idx),

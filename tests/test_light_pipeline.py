@@ -144,9 +144,29 @@ def test_packed_info_roundtrip():
 
 
 def test_packed_scf_roundtrip():
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(1)
-    scf = rng.integers(0, 16, (33, fe.SCF_SLOTS)).astype(np.int32)
-    packed = fe.pack_scf_nibble(scf)
-    assert packed.shape == (33, fe.SCF_SLOTS // 2)
-    out = np.asarray(pr._unpack_scf(packed))
-    np.testing.assert_array_equal(out, scf)
+    n = 33
+    scf = np.zeros((n, fe.SCF_SLOTS), np.int32)
+    scf[:, :24] = rng.integers(0, 16, (n, 24))
+    # A minority of rows carry short-window slots (block_type 2) and a
+    # few carry 5-bit values (the LSF intensity case).
+    for r in (3, 7, 20):
+        scf[r, 24:] = rng.integers(0, 16, fe.SCF_SLOTS - 24)
+    scf[5, 2] = 31  # 5-bit long slot
+    scf[7, 30] = 17  # 5-bit short slot
+    scf[9, 11] = 16  # exactly 16: zero nibble + high bit
+    main, srows, sdata, hrows, hmask = fe.pack_scf_rows(scf)
+    assert main.shape == (n, fe.SCF_MAIN_BYTES)
+    assert sdata.shape[1] == fe.SCF_SIDE_BYTES
+    assert hmask.shape[1] == fe.SCF_HI_BYTES
+    assert set(hrows) == {5, 7, 9}
+    full = np.asarray(pr._expand_scf_flat(
+        jnp.asarray(main), jnp.asarray(srows), jnp.asarray(sdata),
+        jnp.asarray(hrows), jnp.asarray(hmask),
+    ))
+    np.testing.assert_array_equal(full[:n], scf)
+    np.testing.assert_array_equal(full[n], 0)  # dummy padding row
+    with pytest.raises(ValueError):
+        fe.pack_scf_rows(np.full((1, fe.SCF_SLOTS), 32))

@@ -61,7 +61,9 @@ def main():
     nch = u.n_channels
     audio_sec = (u.n // nch) * 576 / u.sample_rate * args.tracks
 
-    prep, rest = rn.prepare_batch_arrays_light([u] * args.tracks, nch, 1)
+    prep, rest, g_max = rn.prepare_batch_arrays_light(
+        [u] * args.tracks, nch, 1
+    )
     argsd = jax.device_put(
         (prep.scalars, prep.buf, prep.meta, prep.inv) + rest
     )
@@ -70,7 +72,7 @@ def main():
     w8_cap, nb = prep.w8_cap, prep.nb
 
     def entropy(bump, scalars, buf, metab, inv, counts, scf, srow,
-                sdata, info, valid):
+                sdata, hrow, hdata, info, valid):
         metab = metab.at[0, 4, 0].set(
             metab[0, 4, 0] ^ ((bump & 1) << 15).astype(metab.dtype)
         )
@@ -81,7 +83,7 @@ def main():
 
     def prefix_core(stop):
         def fn(bump, scalars, buf, metab, inv, counts, scf, srow,
-               sdata, info, valid):
+               sdata, hrow, hdata, info, valid):
             metab = metab.at[0, 4, 0].set(
             metab[0, 4, 0] ^ ((bump & 1) << 15).astype(metab.dtype)
         )
@@ -93,8 +95,12 @@ def main():
             big_end = jnp.concatenate([big_end, zs])
             c1end = jnp.concatenate([c1end, zs])
             rowmap = rn._rowmap_from_counts(
-                counts, scf.shape[1], nb * ek.LANES)
-            scf = rn._unpack_scf_light(scf, srow, sdata)
+                counts, g_max, nb * ek.LANES)
+            scf = rn._expand_scf_flat(scf, srow, sdata, hrow, hdata)[rowmap]
+            info = jnp.concatenate(
+                [info.astype(jnp.int32),
+                 jnp.zeros((1, fe.IP_N), jnp.int32)]
+            )[rowmap]
             spectrum = spec[rowmap]
             info = rn._expand_info_light(info)
             info = info.at[..., fe.BIG_END].set(big_end[rowmap])
@@ -139,24 +145,25 @@ def main():
 
     from functools import partial
 
-    full = partial(rn._analysis_core_light, nb=nb,
+    full = partial(rn._analysis_core_light, nb=nb, g_max=g_max,
                    n_channels=nch, sample_rate=sr, dtype=jnp.float32)
 
     def full_fn(bump, scalars, buf, metab, inv, counts, scf, srow,
-                sdata, info, valid):
+                sdata, hrow, hdata, info, valid):
         # info is packed (fe.pack_info_light): xor global-gain low bits.
         info = info.at[..., 0].set(info[..., 0] ^ (bump % 3).astype(info.dtype))
         return full(scalars, buf, metab, inv, counts, scf, srow, sdata,
-                    info, valid)
+                    hrow, hdata, info, valid)
 
     def fused_fn(bump, scalars, buf, metab, inv, counts, scf, srow,
-                 sdata, info, valid):
+                 sdata, hrow, hdata, info, valid):
         info = info.at[..., 0].set(info[..., 0] ^ (bump % 3).astype(info.dtype))
         spec_b, mout = ek.decode_blocks(scalars, buf, metab, nb=nb)
         return rn._light_tail(
-            spec_b, mout, inv, counts, scf, srow, sdata, info, valid,
-            nb=nb, n_channels=nch, sample_rate=sr, dtype=jnp.float32,
-            fused=True,
+            spec_b, mout, inv, counts, scf, srow, sdata, hrow, hdata,
+            info, valid,
+            nb=nb, g_max=g_max, n_channels=nch, sample_rate=sr,
+            dtype=jnp.float32, fused=True,
         )
 
     stages = [

@@ -99,20 +99,23 @@ def warm_mp3(sr: int, nch: int, max_minutes: float, batch: int) -> int:
         from mp3rgain_tpu.decode import frontend as fe
 
         # Match the transfer forms prepare_batch_arrays_light ships:
-        # packed 2×uint16 info; split 12-byte scf + sideband for MPEG-1.
-        if sr >= 32000:
-            scf = np.zeros((batch, g_max, fe.SCF_MAIN_BYTES), np.uint8)
-        else:
-            scf = np.zeros((batch, g_max, fe.SCF_SLOTS), np.int8)
-        srow = np.full(256, batch * g_max, np.int32)
+        # flat back-to-back 12-byte scf nibbles + sidebands, flat packed
+        # 2×uint16 info, counts-derived rowmap (g_max static).
+        npad = nb * ek.LANES
+        scf = np.zeros((npad, fe.SCF_MAIN_BYTES), np.uint8)
+        srow = np.full(256, npad, np.int32)
         sdata = np.zeros((256, fe.SCF_SIDE_BYTES), np.uint8)
-        info = np.zeros((batch, g_max, fe.IP_N), np.uint16)
+        hrow = np.full(64, npad, np.int32)
+        hdata = np.zeros((64, fe.SCF_HI_BYTES), np.uint8)
+        info = np.zeros((npad, fe.IP_N), np.uint16)
         valid = np.zeros(batch, np.int32)
         tail = rn._light_tail_pipeline(
-            nch, sr, nb, jnp.float32, rn.use_fused_hybrid(), interpret
+            nch, sr, nb, g_max, jnp.float32, rn.use_fused_hybrid(),
+            interpret
         )
         out = tail(spec_b, mout, jnp.asarray(inv), jnp.asarray(counts),
                    jnp.asarray(scf), jnp.asarray(srow), jnp.asarray(sdata),
+                   jnp.asarray(hrow), jnp.asarray(hdata),
                    jnp.asarray(info), jnp.asarray(valid))
         jax.block_until_ready(out)
         n += 1
