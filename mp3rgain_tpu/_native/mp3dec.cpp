@@ -982,20 +982,24 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
 }
 
 // Pack light-unpacked granule-channels into the entropy kernel's device
-// layout in one pass. Block b's words live at flat word-group offset
-// blk_off[b] (units of one (8, lanes) int32 group) in a packed
-// (g_pad, 8, lanes) big-endian word buffer, with blk_w8[b] groups of
-// capacity — per-block instead of batch-max, so the device payload
-// tracks the true bitstream size instead of the heaviest granule in the
-// batch. Three transfer-size/time refinements over the earlier packers:
+// layout in one pass. The stream buffer is ragged at SUBGROUP
+// granularity: each block of `lanes` sorted granule-channels is split
+// into lanes/subg contiguous subgroups of `subg` lanes, and subgroup
+// (b, s)'s words live at flat word-group offset sg_off[b*nsg + s]
+// (units of one (8, subg) int32 group) in a packed (g_pad, 8, subg)
+// big-endian word buffer, with sg_w8[b*nsg + s] groups of capacity —
+// per-subgroup instead of per-block, so the device payload tracks the
+// true bitstream size of each 128-lane span of the sorted order (the
+// kernel re-assembles a block's scratch from nsg independent DMAs).
+// Three transfer-size/time refinements carried over from the earlier
+// per-block packer:
 //   - per-LANE word counts: only ceil((p0 + p23 + 95)/32) words of a
 //     lane's window are copied (the kernel's extract never reads further
 //     — max legal read is 28 bits past pend, inside the 64-bit slack);
 //     the remainder of the lane's column is zeroed, so capacity padding
 //     costs sequential stores, not strided copies;
-//   - k-outer transpose: for each word index k the whole (lanes,) row is
-//     written contiguously while source rows stay hot in L2 (the r-outer
-//     form paid one cache miss per word: writes stride lanes*4 bytes);
+//   - k-outer transpose: for each word index k the whole (subg,) row is
+//     written contiguously while source rows stay hot in L2;
 //   - metadata ships bit-packed: 5 uint16 rows per lane (layout below,
 //     mirrored by entropy_kernel.Half) instead of 12+ full rows.
 // md_rows / meta_rows are per-ROW base pointers (uint64), so callers
@@ -1007,59 +1011,68 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
 //   w2: region pair bound r0p[0:9] | region1 table group g1[9:13]
 //   w3: region pair bound r1p[0:9] | region2 table group g2[9:13]
 //   w4: linbits l0[0:4] | l1[4:8] | l2[8:12]
-void mg_entropy_pack3(const uint64_t* md_rows, const uint64_t* meta_rows,
+void mg_entropy_pack4(const uint64_t* md_rows, const uint64_t* meta_rows,
                       int64_t n, int64_t meta_n, const int32_t* order,
-                      int64_t npad, int64_t lanes,
-                      const int32_t* blk_off, const int32_t* blk_w8,
+                      int64_t npad, int64_t lanes, int64_t subg,
+                      const int32_t* sg_off, const int32_t* sg_w8,
                       int64_t md_stride, int64_t meta_rows_out,
                       int32_t* buf, uint16_t* metab) {
   const int64_t nwords_src = md_stride / 4;
   const int64_t meta_stride = meta_rows_out * lanes;
   const int64_t nb = npad / lanes;
-  std::vector<const uint32_t*> rowp(static_cast<size_t>(lanes));
-  std::vector<int32_t> rown(static_cast<size_t>(lanes));
+  const int64_t nsg = lanes / subg;
+  std::vector<const uint32_t*> rowp(static_cast<size_t>(subg));
+  std::vector<int32_t> rown(static_cast<size_t>(subg));
   for (int64_t b = 0; b < nb; ++b) {
-    const int64_t words = blk_w8[b] * 8;
-    int32_t* bb = buf + static_cast<int64_t>(blk_off[b]) * 8 * lanes;
     uint16_t* mb = metab + b * meta_stride;
-    for (int64_t l = 0; l < lanes; ++l) {
-      const int64_t src = order[b * lanes + l];
-      if (src < n) {
-        rowp[l] = reinterpret_cast<const uint32_t*>(md_rows[src]);
-        const int32_t* m = reinterpret_cast<const int32_t*>(meta_rows[src]);
-        // Lane's true word extent: window bits + 64-bit overreach slack.
-        int64_t nw = (static_cast<int64_t>(m[LM_P0]) + m[LM_P23] + 95) >> 5;
-        if (nw > words) nw = words;
-        if (nw > nwords_src) nw = nwords_src;
-        rown[l] = static_cast<int32_t>(nw);
-        mb[0 * lanes + l] = static_cast<uint16_t>(
-            (m[LM_P23] & 0xFFF) | ((m[LM_P0] & 7) << 12) |
-            ((m[LM_GCNT] & 1) << 15));
-        mb[1 * lanes + l] = static_cast<uint16_t>(
-            (m[LM_BVP] & 511) | ((m[LM_G0] & 15) << 9));
-        mb[2 * lanes + l] = static_cast<uint16_t>(
-            (m[LM_R0P] & 511) | ((m[LM_G1] & 15) << 9));
-        mb[3 * lanes + l] = static_cast<uint16_t>(
-            (m[LM_R1P] & 511) | ((m[LM_G2] & 15) << 9));
-        mb[4 * lanes + l] = static_cast<uint16_t>(
-            (m[LM_L0] & 15) | ((m[LM_L1] & 15) << 4) |
-            ((m[LM_L2] & 15) << 8));
-      } else {
-        rowp[l] = nullptr;
-        rown[l] = 0;
-        for (int64_t j = 0; j < meta_rows_out; ++j) mb[j * lanes + l] = 0;
-      }
-    }
-    (void)meta_n;
-    for (int64_t k = 0; k < words; ++k) {
-      int32_t* out = bb + k * lanes;
-      for (int64_t l = 0; l < lanes; ++l) {
-        if (k < rown[l]) {
-          uint32_t w;
-          memcpy(&w, rowp[l] + k, 4);
-          out[l] = static_cast<int32_t>(__builtin_bswap32(w));
+    for (int64_t s = 0; s < nsg; ++s) {
+      const int64_t sg = b * nsg + s;
+      const int64_t words = sg_w8[sg] * 8;
+      int32_t* bb = buf + static_cast<int64_t>(sg_off[sg]) * 8 * subg;
+      for (int64_t li = 0; li < subg; ++li) {
+        const int64_t l = s * subg + li;
+        const int64_t src = order[b * lanes + l];
+        if (src < n) {
+          rowp[li] = reinterpret_cast<const uint32_t*>(md_rows[src]);
+          const int32_t* m =
+              reinterpret_cast<const int32_t*>(meta_rows[src]);
+          // Lane's true word extent: window bits + 64-bit overreach
+          // slack.
+          int64_t nw =
+              (static_cast<int64_t>(m[LM_P0]) + m[LM_P23] + 95) >> 5;
+          if (nw > words) nw = words;
+          if (nw > nwords_src) nw = nwords_src;
+          rown[li] = static_cast<int32_t>(nw);
+          mb[0 * lanes + l] = static_cast<uint16_t>(
+              (m[LM_P23] & 0xFFF) | ((m[LM_P0] & 7) << 12) |
+              ((m[LM_GCNT] & 1) << 15));
+          mb[1 * lanes + l] = static_cast<uint16_t>(
+              (m[LM_BVP] & 511) | ((m[LM_G0] & 15) << 9));
+          mb[2 * lanes + l] = static_cast<uint16_t>(
+              (m[LM_R0P] & 511) | ((m[LM_G1] & 15) << 9));
+          mb[3 * lanes + l] = static_cast<uint16_t>(
+              (m[LM_R1P] & 511) | ((m[LM_G2] & 15) << 9));
+          mb[4 * lanes + l] = static_cast<uint16_t>(
+              (m[LM_L0] & 15) | ((m[LM_L1] & 15) << 4) |
+              ((m[LM_L2] & 15) << 8));
         } else {
-          out[l] = 0;
+          rowp[li] = nullptr;
+          rown[li] = 0;
+          for (int64_t j = 0; j < meta_rows_out; ++j)
+            mb[j * lanes + l] = 0;
+        }
+      }
+      (void)meta_n;
+      for (int64_t k = 0; k < words; ++k) {
+        int32_t* out = bb + k * subg;
+        for (int64_t li = 0; li < subg; ++li) {
+          if (k < rown[li]) {
+            uint32_t w;
+            memcpy(&w, rowp[li] + k, 4);
+            out[li] = static_cast<int32_t>(__builtin_bswap32(w));
+          } else {
+            out[li] = 0;
+          }
         }
       }
     }

@@ -57,11 +57,11 @@ def _declare_pack(lib):
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u16p = ctypes.POINTER(ctypes.c_uint16)
-    lib.mg_entropy_pack3.restype = None
-    lib.mg_entropy_pack3.argtypes = [
+    lib.mg_entropy_pack4.restype = None
+    lib.mg_entropy_pack4.argtypes = [
         u64p, u64p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
-        ctypes.c_int64, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
-        i32p, u16p,
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int64, i32p, u16p,
     ]
 
 
@@ -109,15 +109,21 @@ ABLATE = os.environ.get("MP3RGAIN_EK_ABLATE", "")
 #   w4: l0[0:4] | l1[4:8] | l2[8:12]
 META_ROWS = 5
 MAX_STEPS = 288  # >= bvp + (576-2*bvp)/4 for all legal streams
-# Scratch capacity in word-groups (one group = (8, LANES) int32 = 256
+# Scratch capacity in word-groups (one group = 8 int32 words = 256
 # bits/lane): 17 * 256 = 4352 bits covers the maximum legal window
 # (part2_3_length <= 4095 bits + byte-alignment slack; MD_STRIDE is 528
-# bytes = 4224 bits). The HBM stream buffer is RAGGED — per-block
-# offsets via scalar prefetch, per-block capacity from the block's own
-# heaviest lane — so w8 is no longer a compile-key dimension and the
-# transfer payload tracks the true bitstream size instead of the
-# heaviest granule in the batch.
+# bytes = 4224 bits). The HBM stream buffer is RAGGED at SUBGROUP
+# granularity — each block's LANES sorted lanes split into SUBG_N
+# contiguous 128-lane subgroups, each with its own word-group offset
+# (scalar prefetch) and capacity from its own heaviest lane. The kernel
+# re-assembles a block's (W8_MAX, 8, LANES) scratch from SUBG_N
+# independent DMAs, so the transfer payload tracks the true bitstream
+# size of each 128-lane span instead of the block's heaviest lane
+# (measured: -17% stream-buffer bytes on 64-track class batches, worst
+# batches -30%+ at low sample rates where window sizes vary most).
 W8_MAX = 17
+SUBG = 128
+SUBG_N = LANES // SUBG
 
 
 def _cap(value, caps):
@@ -162,19 +168,30 @@ def _kernel(lanes: int, n_l2: int, n_l3: int, ilv: int):
 
         pid = pl.program_id(0)
 
-        # Ragged stream fetch: each block's word-groups start at a
-        # per-block offset in the packed HBM buffer (scalar prefetch
-        # column 3). The copy is the static W8_MAX groups — reads past
-        # the block's own groups land in the next block's data (or the
-        # zero tail pad) and are never dereferenced (every fetch loop is
-        # bounded by the block's dynamic nw8).
+        # Ragged stream fetch: each 128-lane SUBGROUP's word-groups
+        # start at their own offset in the packed (g_pad, 8, SUBG) HBM
+        # buffer (scalar prefetch columns 3..3+SUBG_N), and land in the
+        # subgroup's own lane columns of the block scratch — each lane's
+        # window still begins at scratch group 0 of its column, so the
+        # decode body is unchanged. Every copy is the static W8_MAX
+        # groups — reads past a subgroup's own groups land in the next
+        # subgroup's data (or the zero tail pad) and are never
+        # dereferenced (every fetch loop is bounded by the block's
+        # dynamic nw8 and each lane's own word extent). All SUBG_N
+        # copies start before any wait so the DMAs overlap.
         for _h in range(ilv):
-            _off = sref[ilv * pid + _h, 3]
-            _cp = pltpu.make_async_copy(
-                buf_ref.at[pl.ds(_off, W8_MAX)], sbuf_ref.at[_h], dma_sem
-            )
-            _cp.start()
-            _cp.wait()
+            _cps = []
+            for _s in range(SUBG_N):
+                _off = sref[ilv * pid + _h, 3 + _s]
+                _cp = pltpu.make_async_copy(
+                    buf_ref.at[pl.ds(_off, W8_MAX)],
+                    sbuf_ref.at[_h, :, :, pl.ds(_s * SUBG, SUBG)],
+                    dma_sem,
+                )
+                _cp.start()
+                _cps.append(_cp)
+            for _cp in _cps:
+                _cp.wait()
 
         class Half:
             """Per-block constants for one of the interleaved blocks.
@@ -600,8 +617,8 @@ def _decode_call(nb: int, interpret: bool):
     uint16 meta) -> (spec_b (nb, 576, LANES) int32, mout (nb, 8, LANES)).
 
     Compile key: nb only (plus the ragged buffer length via the input
-    shape). The buffer stays in HBM; each grid step DMAs its own blocks'
-    word-groups into a VMEM scratch at a per-block dynamic offset."""
+    shape). The buffer stays in HBM; each grid step re-assembles its
+    block's scratch from SUBG_N DMAs at per-subgroup dynamic offsets."""
     (lutA_T, lutB_T, lutC_T, lutCT_T, gA, gB, gC, gCT,
      n_l2, n_l3) = _luts_packed()
     # Interleave ILV blocks per program when the grid divides evenly
@@ -712,8 +729,8 @@ class PreparedEntropy:
     them back (utils.bufpool.give) once the device transfer completes.
     """
 
-    scalars: np.ndarray  # (nb, 4) int32 [nbig, ncnt, nw8, group_off]
-    buf: np.ndarray  # (g_pad, 8, LANES) int32 ragged main-data words
+    scalars: np.ndarray  # (nb, 3 + SUBG_N) int32 [nbig, ncnt, nw8, off…]
+    buf: np.ndarray  # (g_pad, 8, SUBG) int32 subgroup-ragged words
     meta: np.ndarray  # (nb, META_ROWS, LANES) uint16
     inv: np.ndarray  # (npad,) unsort permutation back to input order
     w8_cap: int  # scratch capacity (constant W8_MAX; kept for callers)
@@ -797,20 +814,25 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
     bvp_s = bvp[order].reshape(nb, LANES)
     quads_s = quads[order].reshape(nb, LANES)
     bits_s = bits[order].reshape(nb, LANES)
-    real_s = (order < n).reshape(nb, LANES).any(axis=1)
     # Phase bounds: big pairs (multiple of 4 for the 8-row flush cadence),
     # count1 quads (multiple of 2).
     nbig_b = (bvp_s.max(axis=1) + 3) // 4 * 4
     ncnt_b = (quads_s.max(axis=1) + 1) // 2 * 2
     # words needed: window bits + 64 slack for mid-symbol overreach;
-    # capacity is PER BLOCK (lanes are sorted, so blocks are homogeneous
-    # and the per-block max tracks the mean) — all-padding blocks carry
-    # zero groups.
-    w8_b = np.where(
-        real_s, np.maximum((bits_s.max(axis=1) + 64 + 255) // 256, 1), 0
+    # capacity is PER 128-LANE SUBGROUP (lanes are sorted, so each
+    # subgroup's max tracks its mean much tighter than the block's) —
+    # all-padding subgroups carry zero groups. The per-block nw8 the
+    # kernel's fetch clamp reads is the max over the block's subgroups.
+    bits_sg = bits_s.reshape(nb, SUBG_N, SUBG)
+    real_sg = (order < n).reshape(nb, SUBG_N, SUBG).any(axis=2)
+    w8_sg = np.where(
+        real_sg, np.maximum((bits_sg.max(axis=2) + 64 + 255) // 256, 1), 0
     ).astype(np.int64)
-    blk_off = np.concatenate([[0], np.cumsum(w8_b)[:-1]]).astype(np.int32)
-    g_real = int(w8_b.sum())
+    sg_off = np.concatenate(
+        [[0], np.cumsum(w8_sg.ravel())[:-1]]
+    ).astype(np.int32).reshape(nb, SUBG_N)
+    w8_b = w8_sg.max(axis=1)
+    g_real = int(w8_sg.sum())
     g_pad = _quantize_g(g_real + W8_MAX)
     if force_g_pad is not None:
         assert force_g_pad >= g_pad, (force_g_pad, g_pad)
@@ -837,25 +859,27 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
     # pays first-touch page faults (the dominant cost at 100+ MB/batch on
     # this VM class). The packer fully overwrites every in-use region;
     # the unwritten tail pad is never read by the kernel.
-    buf = bufpool.take((g_pad, 8, LANES), np.int32)
+    buf = bufpool.take((g_pad, 8, SUBG), np.int32)
     metab = bufpool.take((nb, META_ROWS, LANES), np.uint16)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u16p = ctypes.POINTER(ctypes.c_uint16)
-    blk_w8 = w8_b.astype(np.int32)
-    _lib.mg_entropy_pack3(
+    sg_w8_flat = np.ascontiguousarray(w8_sg.ravel().astype(np.int32))
+    sg_off_flat = np.ascontiguousarray(sg_off.ravel())
+    _lib.mg_entropy_pack4(
         md_rows.ctypes.data_as(u64p), meta_rows.ctypes.data_as(u64p),
         ctypes.c_int64(n), ctypes.c_int64(fe.LIGHT_META_N),
         order.ctypes.data_as(i32p), ctypes.c_int64(npad),
-        ctypes.c_int64(LANES),
-        blk_off.ctypes.data_as(i32p), blk_w8.ctypes.data_as(i32p),
+        ctypes.c_int64(LANES), ctypes.c_int64(SUBG),
+        sg_off_flat.ctypes.data_as(i32p), sg_w8_flat.ctypes.data_as(i32p),
         ctypes.c_int64(md_stride), ctypes.c_int64(META_ROWS),
         buf.ctypes.data_as(i32p), metab.ctypes.data_as(u16p),
     )
 
-    scalars = np.stack(
-        [nbig_b.astype(np.int32), ncnt_b.astype(np.int32),
-         blk_w8, blk_off], axis=1
+    scalars = np.concatenate(
+        [np.stack([nbig_b.astype(np.int32), ncnt_b.astype(np.int32),
+                   w8_b.astype(np.int32)], axis=1),
+         sg_off], axis=1
     )
     return PreparedEntropy(
         scalars=scalars, buf=buf, meta=metab, inv=inv,

@@ -28,7 +28,8 @@ def bench(nb, steps, w8, k, iters=4, quiet=False):
     # Ragged layout: block b's w8 groups start at group offset b*w8;
     # W8_MAX tail pad keeps the fixed-size DMA in bounds.
     buf = rng.integers(
-        0, 2**31, (nb * w8 + ek.W8_MAX, 8, ek.LANES), dtype=np.int64
+        0, 2**31, (nb * ek.SUBG_N * w8 + ek.W8_MAX, 8, ek.SUBG),
+        dtype=np.int64,
     ).astype(np.int32)
     meta = np.zeros((nb, ek.META_ROWS, ek.LANES), np.uint16)
     meta[:, 1] = 1700
@@ -37,10 +38,12 @@ def bench(nb, steps, w8, k, iters=4, quiet=False):
     # Split `steps` across the two phases like real content (~2/3 big).
     nbig = max(4, (2 * steps // 3 + 3) // 4 * 4)
     ncnt = max(2, (steps - nbig + 1) // 2 * 2)
-    scal = np.stack(
-        [np.full(nb, nbig, np.int32), np.full(nb, ncnt, np.int32),
-         np.full(nb, w8, np.int32),
-         (np.arange(nb) * w8).astype(np.int32)], 1)
+    offs = (np.arange(nb * ek.SUBG_N) * w8).astype(np.int32)
+    scal = np.concatenate(
+        [np.stack([np.full(nb, nbig, np.int32),
+                   np.full(nb, ncnt, np.int32),
+                   np.full(nb, w8, np.int32)], 1),
+         offs.reshape(nb, ek.SUBG_N)], 1)
     run0 = ek._decode_call(nb, False)
     scald = jax.device_put(jnp.asarray(scal))
     run = lambda b, m: run0(scald, b, m)

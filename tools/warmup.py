@@ -65,15 +65,17 @@ def warm_mp3(sr: int, nch: int, max_minutes: float, batch: int) -> int:
         nb = max(1, -(-rows // ek.LANES))
         nb = ek._cap(nb, ek.NB_CAPS) if nb <= ek.NB_CAPS[-1] else nb
         nb = -(-nb // ek.ILV) * ek.ILV
-        # Typical stream density spans ~2-7 word-groups per lane block;
-        # compile the g_pad ladder points that band implies.
+        # Typical stream density spans ~2-7 word-groups per lane
+        # subgroup; compile the g_pad ladder points that band implies
+        # (g_pad counts (8, SUBG) subgroup-groups).
         g_pads = sorted({
-            ek._quantize_g(nb * w + ek.W8_MAX) for w in (2, 3, 5, 7)
+            ek._quantize_g(nb * ek.SUBG_N * w + ek.W8_MAX)
+            for w in (2, 3, 5, 7)
         })
         for g_pad in g_pads:
             t0 = time.monotonic()
-            scalars = np.zeros((nb, 4), np.int32)
-            buf = np.zeros((g_pad, 8, ek.LANES), np.int32)
+            scalars = np.zeros((nb, 3 + ek.SUBG_N), np.int32)
+            buf = np.zeros((g_pad, 8, ek.SUBG), np.int32)
             meta = np.zeros((nb, ek.META_ROWS, ek.LANES), np.uint16)
             spec_b, mout = ek.decode_blocks(
                 jnp.asarray(scalars), jnp.asarray(buf), jnp.asarray(meta),
@@ -86,9 +88,11 @@ def warm_mp3(sr: int, nch: int, max_minutes: float, batch: int) -> int:
 
         # Tail key: (nch, sr, nb, B, g_max).
         t0 = time.monotonic()
-        scalars = np.zeros((nb, 4), np.int32)
-        buf = np.zeros((ek._quantize_g(nb * 3 + ek.W8_MAX), 8, ek.LANES),
-                       np.int32)
+        scalars = np.zeros((nb, 3 + ek.SUBG_N), np.int32)
+        buf = np.zeros(
+            (ek._quantize_g(nb * ek.SUBG_N * 3 + ek.W8_MAX), 8, ek.SUBG),
+            np.int32,
+        )
         meta = np.zeros((nb, ek.META_ROWS, ek.LANES), np.uint16)
         spec_b, mout = ek.decode_blocks(
             jnp.asarray(scalars), jnp.asarray(buf), jnp.asarray(meta),
