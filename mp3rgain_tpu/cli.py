@@ -100,6 +100,12 @@ class Options:
     # namespace stays untouched, SURVEY.md §5).
     batch_mode: str = "auto"  # auto | always | never
     manifest: str | None = None
+    # Reproduce the reference's symphonia F32 decoder ceiling: clamp
+    # decoded peaks at 1.0 so TSV "Max Amplitude", -x output and the -k
+    # cap match mp3rgain byte-for-byte on >1.0-peak files
+    # (/root/reference/src/main.rs:610-616). Off by default — the TPU
+    # decoder reports the true unclipped peak (analysis.py).
+    clip_peak_compat: bool = False
 
     files: list[Path] = field(default_factory=list)
 
@@ -122,6 +128,8 @@ _COMBINED_FLAG_CHARS = set("pqckuranRewxtf")
 def parse_args(args: list[str]) -> Options:
     """Hand-rolled mp3gain-compatible parser (reference src/main.rs:183-434)."""
     opts = Options()
+    if os.environ.get("MP3RGAIN_CLIP_PEAK_COMPAT", "") not in ("", "0"):
+        opts.clip_peak_compat = True
     i = 0
 
     def need_value(flag: str) -> str:
@@ -153,6 +161,10 @@ def parse_args(args: list[str]) -> Options:
                 _err("--manifest requires an argument")
                 raise SystemExit(1)
             opts.manifest = args[i]
+            i += 1
+            continue
+        if arg == "--clip-peak-compat":
+            opts.clip_peak_compat = True
             i += 1
             continue
         if arg == "--help":
@@ -531,6 +543,21 @@ def run(opts: Options) -> int:
 # =============================================================================
 
 
+def _clamp_peaks(opts: Options, result):
+    """--clip-peak-compat: clamp decoded peaks at 1.0, reproducing the
+    reference's symphonia F32 decoder ceiling (main.rs:610-616). Mutates
+    ReplayGainResult/AlbumGainResult in place and returns it."""
+    if not opts.clip_peak_compat or result is None:
+        return result
+    if hasattr(result, "album_peak"):
+        result.album_peak = min(result.album_peak, 1.0)
+        for t in result.tracks:
+            _clamp_peaks(opts, t)
+    elif hasattr(result, "peak"):
+        result.peak = min(result.peak, 1.0)
+    return result
+
+
 def cmd_max_amplitude(files: list[Path], opts: Options) -> int:
     if opts.output_format == OutputFormat.TEXT and not opts.quiet:
         print(f"{colorize('mp3rgain', Color.GREEN, bold=True)} Finding maximum amplitude for {len(files)} file(s)")
@@ -544,6 +571,8 @@ def cmd_max_amplitude(files: list[Path], opts: Options) -> int:
         _pb_msg(pb, filename)
         try:
             max_amp, max_gain, min_gain = find_max_amplitude(f)
+            if opts.clip_peak_compat:
+                max_amp = min(max_amp, 1.0)
             max_pcm_sample = max_amp * 32768.0
             headroom_db = (-20.0 * _log10(max_amp)) if max_amp > 0 else float("inf")
             is_mp3 = f.suffix.lower() == ".mp3"
@@ -953,6 +982,7 @@ def cmd_album_gain(files: list[Path], opts: Options) -> int:
             )
         else:
             album_result = replaygain.analyze_album_with_index(files, opts.track_index)
+        _clamp_peaks(opts, album_result)
     except Exception as e:
         if opts.output_format == OutputFormat.JSON:
             print_json(summary=json_summary(len(files), 0, len(files), opts.dry_run))
@@ -1179,11 +1209,13 @@ def process_info(f: Path, opts: Options) -> dict:
     # (main.rs:1699-1746); peak scaled ×32768 because beets divides by 32768.
     if opts.output_format == OutputFormat.TSV and replaygain.is_available():
         try:
-            rg = replaygain.analyze_track_with_index(f, opts.track_index)
+            rg = _clamp_peaks(opts, replaygain.analyze_track_with_index(f, opts.track_index))
             try:
                 max_amp, max_gain, min_gain = find_max_amplitude(f)
             except Exception:
                 max_amp, max_gain, min_gain = (1.0, 255, 0)
+            if opts.clip_peak_compat:
+                max_amp = min(max_amp, 1.0)
             gain_db = rg.gain_db + opts.gain_modifier_db
             gain_steps = db_to_steps(gain_db)
             max_amplitude_scaled = rg.peak * 32768.0
@@ -1274,11 +1306,11 @@ def process_track_gain(f: Path, opts: Options, precomputed=None) -> dict:
     try:
         if isinstance(precomputed, Exception):
             raise precomputed
-        result = (
+        result = _clamp_peaks(opts, (
             precomputed
             if precomputed is not None
             else replaygain.analyze_track_with_index(f, opts.track_index)
-        )
+        ))
     except Exception as e:
         if opts.output_format == OutputFormat.TEXT and not opts.quiet:
             print(f"  {colorize('x', Color.RED, stream=sys.stderr)} {filename} - {e}", file=sys.stderr)
@@ -1447,6 +1479,7 @@ def print_usage() -> None:
     print("    -R          Process directories recursively")
     print("    -n          Dry-run mode (show what would be done)")
     print("    --dry-run   Same as -n")
+    print("    --clip-peak-compat  Clamp decoded peaks at 1.0 (match mp3rgain's decoder)")
     print("    -o <fmt>    Output format: 'text' (default), 'json', or 'tsv'")
     print("    -v          Show version")
     print("    -h          Show this help")

@@ -159,6 +159,18 @@ BUTTER_B = {
 
 SUPPORTED_RATES = tuple(sorted(YULE_A, reverse=True))
 
+# Rates whose published Yule-Walker row is numerically unstable. The
+# 88200 Hz coefficients (identical to the reference's table,
+# /root/reference/src/replaygain.rs:145-175) have poles outside the unit
+# circle: every direct implementation diverges to inf/NaN within a few
+# thousand samples, and in the reference every NaN mean-square window
+# lands in histogram bin 2000 via Rust's saturating `NaN as i32 == 0`
+# cast (src/replaygain.rs:754-755) — i.e. the analysis degenerates to
+# loudness 0.0 dB. The device filter short-circuits these rates to the
+# same well-defined result (ops/iir.py) instead of materializing
+# overflowing blocked operators.
+DEGENERATE_RATES = frozenset({88200})
+
 
 @dataclass(frozen=True)
 class FilterPlan:
@@ -174,7 +186,8 @@ class FilterPlan:
     88.2 kHz — as is every direct implementation of the same table, the
     reference included; MP3 cannot carry 88.2 kHz audio, so the row is
     only reachable via AAC input and degenerates identically everywhere
-    (all RMS windows overflow out of histogram range → loudness -20).
+    (every diverged RMS window lands in histogram bin 2000 → loudness
+    0.0; see DEGENERATE_RATES).
     """
 
     sample_rate: int

