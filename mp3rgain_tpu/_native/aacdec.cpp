@@ -191,6 +191,13 @@ struct VlcSet {
   // (division by a non-constant modulus is the hottest arithmetic in
   // the spectral loop) with one 4-byte load.
   int8_t vals[11][289][4] = {};
+  // Sign-applied tuple LUT for the unsigned codebooks: nnz[idx] sign
+  // bits (MSB = first nonzero, ISO 14496-3 spectral_data order) select
+  // the fully-signed 4-value row directly — the per-element
+  // sign-branch chain was the serial bottleneck of the spectral loop.
+  // 289*16 rows * 4 B * 10 books ~ 185 KB, L2-resident.
+  uint8_t nnz[11][289] = {};
+  int8_t signed_vals[11][289 * 16][4] = {};
 
   VlcSet() {
     sf.build(kAacSfCode, kAacSfLen, 121);
@@ -212,6 +219,21 @@ struct VlcSet {
         } else {
           vals[b][idx][0] = static_cast<int8_t>(t / mod - (uns ? 0 : lav));
           vals[b][idx][1] = static_cast<int8_t>(t % mod - (uns ? 0 : lav));
+        }
+        int n = 0;
+        for (int d = 0; d < 4; ++d) n += vals[b][idx][d] != 0;
+        nnz[b][idx] = static_cast<uint8_t>(uns ? n : 0);
+        const int nsb = nnz[b][idx];
+        for (int sb = 0; sb < (1 << nsb); ++sb) {
+          int8_t* row = signed_vals[b][idx * 16 + sb];
+          int k = nsb;
+          for (int d = 0; d < 4; ++d) {
+            int v = vals[b][idx][d];
+            if (uns && v != 0) {
+              if ((sb >> --k) & 1) v = -v;
+            }
+            row[d] = static_cast<int8_t>(v);
+          }
         }
       }
     }
@@ -510,6 +532,72 @@ bool parse_spectral_data(BitReader* br, Channel* ch, const PulseData* pulse) {
       // band fits entirely below 1024.
       const int base = group_offset + band_start * glen;
       const bool in_bounds = base >= 0 && base + total <= 1024;
+      if (cb != 11 && in_bounds) {
+        // Fast path for the non-escape books (the vast majority of
+        // real content): keep the left-aligned bit window in a
+        // register across tuples (codeword <= 19 bits + <= 4 sign
+        // bits: one 8-byte load serves ~2 tuples) and apply sign bits
+        // through the precomputed signed_vals LUT — one 4-byte row
+        // load replaces the per-element sign-branch chain that
+        // serialized the loop.
+        const uint8_t* nnz_lut = v.nnz[cb - 1];
+        const int8_t (*slut)[4] = v.signed_vals[cb - 1];
+        size_t bit = br->bit;
+        uint64_t w = 0;
+        int avail = 0;
+        int i = 0;
+        for (; i < total; i += dim) {
+          if (avail < 23) {
+            const size_t byte = bit >> 3;
+            if (byte + 8 > br->len) break;  // tail: per-tuple path
+            w = br->load64(byte) << (bit & 7);
+            avail = static_cast<int>(64 - (bit & 7));
+          }
+          int clen;
+          const int idx = vb.decode_w(w, &clen);
+          if (idx < 0) {
+            br->bit = bit;
+            return false;
+          }
+          const int nsb = nnz_lut[idx];
+          // ((w<<clen)>>1)>>(63-nsb) extracts the top nsb bits with a
+          // well-defined shift for nsb == 0 (a plain >>(64-nsb) would
+          // shift by 64).
+          const uint32_t sb =
+              static_cast<uint32_t>(((w << clen) >> 1) >> (63 - nsb));
+          const int8_t* row = slut[idx * 16 + sb];
+          int32_t* out = coef + base + i;
+          for (int d = 0; d < dim; ++d) out[d] = row[d];
+          const int nbits = clen + nsb;
+          w <<= nbits;
+          avail -= nbits;
+          bit += nbits;
+        }
+        br->bit = bit;
+        if (i >= total) continue;  // band done; next band
+        // Fall through to the general loop for the remaining tuples
+        // (buffer tail), starting at i.
+        for (; i < total; i += dim) {
+          const int idx = vb.decode(br);
+          if (idx < 0 || br->overrun) return false;
+          int vals4[4];
+          for (int d = 0; d < 4; ++d) vals4[d] = v.vals[cb - 1][idx][d];
+          if (uns) {
+            int nnzc = 0;
+            for (int d = 0; d < dim; ++d) nnzc += vals4[d] != 0;
+            if (nnzc) {
+              uint32_t sb = br->get(nnzc);
+              for (int d = 0; d < dim; ++d) {
+                if (vals4[d]) {
+                  if ((sb >> --nnzc) & 1) vals4[d] = -vals4[d];
+                }
+              }
+            }
+          }
+          for (int d = 0; d < dim; ++d) coef[base + i + d] = vals4[d];
+        }
+        continue;
+      }
       for (int i = 0; i < total; i += dim) {
         // Fast path: one left-aligned 64-bit window covers the codeword
         // (<= 19 bits) plus the tuple's sign bits (<= 4) — one load +
@@ -1053,13 +1141,21 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
             // Long windows: decode order is natural order already.
             // |q| > 127 goes to the sparse escape sideband (q8 = 0 so
             // the device scatter-ADD reconstructs the exact value).
-            // Most frames have no escapes: detect with a vectorizable
-            // range scan, then narrow with a branch-free copy.
+            // Books 1-10 emit |q| <= 16 and a pulse adds <= 15 (4-bit
+            // amplitude), so a row can only exceed int8 through a
+            // cb-11 band; skip the range scan outright when the row
+            // has none — the common case on real content.
+            bool may_escape = false;
+            for (int k = 0; k < ch.ics.max_sfb && !may_escape; ++k) {
+              may_escape = ch.band_cb[0][k] == 11;
+            }
             int32_t mn = 0, mx = 0;
-            for (int i = 0; i < 1024; ++i) {
-              const int32_t q = ch.qcoef[i];
-              mn = q < mn ? q : mn;
-              mx = q > mx ? q : mx;
+            if (may_escape) {
+              for (int i = 0; i < 1024; ++i) {
+                const int32_t q = ch.qcoef[i];
+                mn = q < mn ? q : mn;
+                mx = q > mx ? q : mx;
+              }
             }
             if (mn >= -128 && mx <= 127) {
               for (int i = 0; i < 1024; ++i) {

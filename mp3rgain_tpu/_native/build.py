@@ -54,13 +54,18 @@ def build(force: bool = False) -> str:
     # CXXFLAGS_EXTRA hook: sanitizer builds for parser fuzzing
     # (docs/security.md), e.g. CXXFLAGS_EXTRA="-fsanitize=address -g".
     extra = os.environ.get("CXXFLAGS_EXTRA", "").split()
-    cmd = ["g++", *CXXFLAGS, *extra, "-o", SO_PATH, *_sources()]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"native build failed:\n$ {' '.join(cmd)}\n{proc.stderr}"
-        )
-    return SO_PATH
+    # The library builds lazily on the host that runs it, so tuning for
+    # the local ISA is safe (AVX-512 vectorizes the decode front-ends'
+    # pack/convert loops); fall back to the portable baseline if the
+    # toolchain rejects the flag.
+    for arch in (["-march=native"], []):
+        cmd = ["g++", *CXXFLAGS, *arch, *extra, "-o", SO_PATH, *_sources()]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode == 0:
+            return SO_PATH
+    raise RuntimeError(
+        f"native build failed:\n$ {' '.join(cmd)}\n{proc.stderr}"
+    )
 
 
 if __name__ == "__main__":

@@ -791,9 +791,22 @@ enum {
 // holds the reservoir bytes covering [part3_start, part3_end] plus up to
 // 8 bytes of real following reservoir data (the kernel may legally read
 // past part2_3_length mid-symbol, as the host BitReader does).
-int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
-                            int32_t* scf, uint8_t* md, int64_t md_stride,
-                            int32_t* meta, int64_t cap_gch) {
+//
+// Two emitters share this implementation (see the extern "C" wrappers):
+//   dense  — (info GCH_INFO_N i32, scf 64 i32) per gch: the oracle/test
+//            form (mg_mp3_unpack_light, unchanged contract);
+//   packed — the transfer form the batch prep ships as-is: ip (2 u16,
+//            frontend.pack_info_light layout), scf_main (12 u8 low
+//            nibbles of slots 0..23) + sparse short-window/high-bit
+//            sidebands (frontend.pack_scf_rows layout). Emitting packed
+//            directly cuts the walk's write traffic ~4x (the dense
+//            int32 info+scf rows were ~3.2 MB per 60 s track vs
+//            ~0.15 MB packed) — the light walk is write-bound.
+static int64_t unpack_light_impl(
+    const uint8_t* data, size_t len, int32_t* info, int32_t* scf,
+    uint16_t* ip, uint8_t* scf_main, int32_t* srows, uint8_t* sdata,
+    int32_t* hrows, uint8_t* hmask, uint8_t* md, int64_t md_stride,
+    int32_t* meta, int64_t cap_gch, int32_t* out_hdr) {
   const size_t audio_end = find_audio_end(data, len);
   size_t pos = skip_id3v2(data, len);
 
@@ -802,7 +815,9 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
 
   int64_t n_gch = 0;
   int64_t frame_idx = 0;
+  int64_t ns = 0, nh = 0;
   int32_t prev_scf[2][kScfSlots] = {};
+  int32_t scfbuf[kScfSlots];
 
   while (pos + 4 <= audio_end) {
     FrameHeader h;
@@ -848,11 +863,11 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
         const int64_t rec = n_gch++;
         if (rec >= cap_gch) continue;
 
-        int32_t* rinfo = info + rec * GCH_INFO_N;
-        int32_t* rscf = scf + rec * kScfSlots;
+        int32_t* rinfo = info ? info + rec * GCH_INFO_N : nullptr;
+        int32_t* rscf = scf ? scf + rec * kScfSlots : scfbuf;
         int32_t* rmeta = meta + rec * LIGHT_META_N;
         uint8_t* rmd = md + rec * md_stride;
-        memset(rinfo, 0, GCH_INFO_N * sizeof(int32_t));
+        if (rinfo) memset(rinfo, 0, GCH_INFO_N * sizeof(int32_t));
         memset(rscf, 0, kScfSlots * sizeof(int32_t));
         memset(rmeta, 0, LIGHT_META_N * sizeof(int32_t));
 
@@ -946,26 +961,78 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
           memset(rmd, 0, 16);
         }
 
-        rinfo[GCH_FRAME] = static_cast<int32_t>(frame_idx);
-        rinfo[GCH_GRANULE] = g;
-        rinfo[GCH_CHANNEL] = ch;
-        rinfo[GCH_GLOBAL_GAIN] = gi.global_gain;
-        rinfo[GCH_SCALEFAC_SCALE] = gi.scalefac_scale;
-        rinfo[GCH_PREFLAG] = gi.preflag;
-        rinfo[GCH_BLOCK_TYPE] = gi.window_switching ? gi.block_type : 0;
-        rinfo[GCH_MIXED] = gi.mixed_block_flag;
-        rinfo[GCH_SBG0] = gi.subblock_gain[0];
-        rinfo[GCH_SBG1] = gi.subblock_gain[1];
-        rinfo[GCH_SBG2] = gi.subblock_gain[2];
-        rinfo[GCH_VERSION] = h.version;
-        rinfo[GCH_SR_ROW] = h.sr_row();
-        rinfo[GCH_CHANNEL_MODE] = h.channel_mode;
-        rinfo[GCH_MODE_EXT] = h.mode_extension;
-        rinfo[GCH_SAMPLE_RATE] = static_cast<int32_t>(h.sample_rate);
-        // BIG_END / COUNT1_END are filled in by the device entropy kernel.
-        rinfo[GCH_VALID] = ok ? 1 : 0;
-        rinfo[GCH_INTENSITY_SCALE] = intensity_scale;
-        rinfo[GCH_NCHANNELS] = nch;
+        if (rinfo) {
+          rinfo[GCH_FRAME] = static_cast<int32_t>(frame_idx);
+          rinfo[GCH_GRANULE] = g;
+          rinfo[GCH_CHANNEL] = ch;
+          rinfo[GCH_GLOBAL_GAIN] = gi.global_gain;
+          rinfo[GCH_SCALEFAC_SCALE] = gi.scalefac_scale;
+          rinfo[GCH_PREFLAG] = gi.preflag;
+          rinfo[GCH_BLOCK_TYPE] = gi.window_switching ? gi.block_type : 0;
+          rinfo[GCH_MIXED] = gi.mixed_block_flag;
+          rinfo[GCH_SBG0] = gi.subblock_gain[0];
+          rinfo[GCH_SBG1] = gi.subblock_gain[1];
+          rinfo[GCH_SBG2] = gi.subblock_gain[2];
+          rinfo[GCH_VERSION] = h.version;
+          rinfo[GCH_SR_ROW] = h.sr_row();
+          rinfo[GCH_CHANNEL_MODE] = h.channel_mode;
+          rinfo[GCH_MODE_EXT] = h.mode_extension;
+          rinfo[GCH_SAMPLE_RATE] = static_cast<int32_t>(h.sample_rate);
+          // BIG_END / COUNT1_END come from the device entropy kernel.
+          rinfo[GCH_VALID] = ok ? 1 : 0;
+          rinfo[GCH_INTENSITY_SCALE] = intensity_scale;
+          rinfo[GCH_NCHANNELS] = nch;
+        }
+        if (ip) {
+          // frontend.pack_info_light layout (keep in sync).
+          const int bt = gi.window_switching ? gi.block_type : 0;
+          ip[rec * 2 + 0] = static_cast<uint16_t>(
+              (gi.global_gain & 255) | ((bt & 3) << 8) |
+              ((gi.mixed_block_flag & 1) << 10) |
+              ((gi.scalefac_scale & 1) << 11) | ((gi.preflag & 1) << 12) |
+              ((intensity_scale & 1) << 13) |
+              ((h.channel_mode == 1 ? 1 : 0) << 14) |
+              ((h.lsf() ? 1 : 0) << 15));
+          ip[rec * 2 + 1] = static_cast<uint16_t>(
+              (gi.subblock_gain[0] & 7) | ((gi.subblock_gain[1] & 7) << 3) |
+              ((gi.subblock_gain[2] & 7) << 6) |
+              ((h.mode_extension & 3) << 9) | ((h.sr_row() & 15) << 11));
+          // frontend.pack_scf_rows layout (keep in sync).
+          uint32_t any_short = 0, any_hi = 0;
+          for (int s = 0; s < kScfSlots; ++s) {
+            const uint32_t v = static_cast<uint32_t>(rscf[s]);
+            any_hi |= v >> 4;
+            if (s >= 24) any_short |= v & 15u;
+          }
+          uint8_t* m = scf_main + rec * 12;
+          for (int j = 0; j < 12; ++j)
+            m[j] = static_cast<uint8_t>(((rscf[2 * j] & 15) << 4) |
+                                        (rscf[2 * j + 1] & 15));
+          if (any_short) {
+            srows[ns] = static_cast<int32_t>(rec);
+            uint8_t* d = sdata + ns * 20;
+            for (int j = 0; j < 20; ++j)
+              d[j] = static_cast<uint8_t>(((rscf[24 + 2 * j] & 15) << 4) |
+                                          (rscf[24 + 2 * j + 1] & 15));
+            ++ns;
+          }
+          if (any_hi) {
+            hrows[nh] = static_cast<int32_t>(rec);
+            uint8_t* hm = hmask + nh * 8;
+            for (int b = 0; b < 8; ++b) {
+              uint8_t bitsv = 0;
+              for (int i = 0; i < 8; ++i)
+                bitsv |= static_cast<uint8_t>(
+                    (rscf[b * 8 + i] >= 16) ? (1u << i) : 0u);
+              hm[b] = bitsv;
+            }
+            ++nh;
+          }
+        }
+        if (out_hdr && rec == 0) {
+          out_hdr[0] = static_cast<int32_t>(h.sample_rate);
+          out_hdr[1] = nch;
+        }
       }
     }
 
@@ -978,7 +1045,71 @@ int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
     ++frame_idx;
     pos = next_pos;
   }
+  if (out_hdr) {
+    out_hdr[2] = static_cast<int32_t>(ns);
+    out_hdr[3] = static_cast<int32_t>(nh);
+  }
   return n_gch;
+}
+
+int64_t mg_mp3_unpack_light(const uint8_t* data, size_t len, int32_t* info,
+                            int32_t* scf, uint8_t* md, int64_t md_stride,
+                            int32_t* meta, int64_t cap_gch) {
+  return unpack_light_impl(data, len, info, scf, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, md, md_stride, meta,
+                           cap_gch, nullptr);
+}
+
+// Exact granule-channel count: the same frame-acceptance walk as
+// unpack_light_impl (resync validation, Xing skip, audio_end bound)
+// without any parsing or stores. Lets callers allocate exact-size
+// manifest buffers — the len/40 worst-case guess over-allocated ~4x on
+// typical 192 kbps content, and a 64-track wave of those fresh multi-MB
+// mmaps was the dominant walk cost on page-fault-slow hosts.
+int64_t mg_mp3_count_gch(const uint8_t* data, size_t len) {
+  const size_t audio_end = find_audio_end(data, len);
+  size_t pos = skip_id3v2(data, len);
+  int64_t n = 0;
+  while (pos + 4 <= audio_end) {
+    FrameHeader h;
+    if (!parse_header(data + pos, len - pos, &h)) {
+      ++pos;
+      continue;
+    }
+    const size_t next_pos = pos + h.frame_size;
+    bool valid_frame;
+    if (next_pos + 2 <= audio_end) {
+      valid_frame =
+          data[next_pos] == 0xFF && (data[next_pos + 1] & 0xE0) == 0xE0;
+    } else {
+      valid_frame = next_pos <= audio_end;
+    }
+    if (!valid_frame) {
+      ++pos;
+      continue;
+    }
+    if (is_xing_frame(data, len, pos, h)) {
+      pos = next_pos;
+      continue;
+    }
+    n += h.granule_count() * h.channel_count();
+    pos = next_pos;
+  }
+  return n;
+}
+
+// Packed-emission light walk: ip (cap,2) u16, scf_main (cap,12) u8,
+// srows/sdata + hrows/hmask sidebands (capacity cap rows each), md/meta
+// as in mg_mp3_unpack_light. out_hdr receives [sample_rate, n_channels,
+// n_short_rows, n_hi_rows].
+int64_t mg_mp3_unpack_light2(const uint8_t* data, size_t len, uint16_t* ip,
+                             uint8_t* scf_main, int32_t* srows,
+                             uint8_t* sdata, int32_t* hrows, uint8_t* hmask,
+                             uint8_t* md, int64_t md_stride, int32_t* meta,
+                             int64_t cap_gch, int32_t* out_hdr) {
+  return unpack_light_impl(data, len, nullptr, nullptr, ip, scf_main, srows,
+                           sdata, hrows, hmask, md, md_stride, meta, cap_gch,
+                           out_hdr);
 }
 
 // Pack light-unpacked granule-channels into the entropy kernel's device
@@ -1077,6 +1208,109 @@ void mg_entropy_pack4(const uint64_t* md_rows, const uint64_t* meta_rows,
       }
     }
   }
+}
+
+// Stable counting sort of the entropy batch's lane order by
+// (est_steps, window_bits) — the exact key np.lexsort((bits, est)) used
+// (lexsort measured ~95 ms on a 786k-lane batch, ~30% of the whole host
+// prep; this is O(n) with a ~1.2M-bucket count array). est <= 288
+// (entropy_kernel.MAX_STEPS), bits = p0 + p23 <= 7 + 4095; both are
+// clamped for safety. Emits order (sorted -> source index) and inv
+// (source -> sorted position).
+void mg_sort_est_bits(const int32_t* est, const int64_t* bits, int64_t n,
+                      int32_t* order, int32_t* inv) {
+  constexpr int64_t kBitsRange = 4104;  // max bits 4103 (+1)
+  constexpr int64_t kEstMax = 288;
+  constexpr int64_t kKeys = (kEstMax + 1) * kBitsRange;
+  std::vector<int32_t> count(static_cast<size_t>(kKeys) + 1, 0);
+  std::vector<int32_t> key(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t e = est[i];
+    if (e < 0) e = 0;
+    if (e > kEstMax) e = kEstMax;
+    int64_t b = bits[i];
+    if (b < 0) b = 0;
+    if (b >= kBitsRange) b = kBitsRange - 1;
+    const int32_t k = static_cast<int32_t>(e * kBitsRange + b);
+    key[static_cast<size_t>(i)] = k;
+    ++count[static_cast<size_t>(k) + 1];
+  }
+  for (size_t k = 1; k <= static_cast<size_t>(kKeys); ++k)
+    count[k] += count[k - 1];
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t pos = count[static_cast<size_t>(
+        key[static_cast<size_t>(i)])]++;
+    order[pos] = static_cast<int32_t>(i);
+    inv[i] = pos;
+  }
+}
+
+// Dense -> transfer-packed conversion for one track's light manifest:
+// the bit-packed info words (frontend.pack_info_light layout) and the
+// split scalefactor form (frontend.pack_scf_rows: 12-byte low-nibble
+// main rows + sparse short-window / high-bit sidebands). The Python
+// per-track fills this replaces cost ~160 ms per 64x60s batch (~45% of
+// host prep) in small numpy ops. srows/hrows receive row_offset-based
+// (global) indices; caller provides capacity-n sideband buffers and
+// reads back *ns/*nh. Returns 0, or -1 if any scalefactor slot exceeds
+// 5 bits (the Python path raises ValueError).
+int32_t mg_pack_light_track(const int32_t* info, const int32_t* scf,
+                            int64_t n, uint16_t* ip_out, uint8_t* scf_main,
+                            int32_t* srows, uint8_t* sdata, int32_t* hrows,
+                            uint8_t* hmask, int64_t row_offset,
+                            int64_t* ns_out, int64_t* nh_out) {
+  int64_t ns = 0, nh = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    const int32_t* ri = info + r * GCH_INFO_N;
+    ip_out[r * 2 + 0] = static_cast<uint16_t>(
+        (ri[GCH_GLOBAL_GAIN] & 255) | ((ri[GCH_BLOCK_TYPE] & 3) << 8) |
+        ((ri[GCH_MIXED] & 1) << 10) | ((ri[GCH_SCALEFAC_SCALE] & 1) << 11) |
+        ((ri[GCH_PREFLAG] & 1) << 12) |
+        ((ri[GCH_INTENSITY_SCALE] & 1) << 13) |
+        ((ri[GCH_CHANNEL_MODE] == 1 ? 1 : 0) << 14) |
+        ((ri[GCH_VERSION] != 1 ? 1 : 0) << 15));
+    ip_out[r * 2 + 1] = static_cast<uint16_t>(
+        (ri[GCH_SBG0] & 7) | ((ri[GCH_SBG1] & 7) << 3) |
+        ((ri[GCH_SBG2] & 7) << 6) | ((ri[GCH_MODE_EXT] & 3) << 9) |
+        ((ri[GCH_SR_ROW] & 15) << 11));
+
+    const int32_t* rs = scf + r * 64;
+    uint32_t any_short = 0, any_hi = 0, bad = 0;
+    for (int64_t s = 0; s < 64; ++s) {
+      const uint32_t v = static_cast<uint32_t>(rs[s]);
+      bad |= v >> 5;
+      any_hi |= v >> 4;
+      if (s >= 24) any_short |= v & 15u;
+    }
+    if (bad) return -1;
+    uint8_t* m = scf_main + r * 12;
+    for (int64_t j = 0; j < 12; ++j)
+      m[j] = static_cast<uint8_t>(((rs[2 * j] & 15) << 4) |
+                                  (rs[2 * j + 1] & 15));
+    if (any_short) {
+      srows[ns] = static_cast<int32_t>(row_offset + r);
+      uint8_t* d = sdata + ns * 20;
+      for (int64_t j = 0; j < 20; ++j)
+        d[j] = static_cast<uint8_t>(((rs[24 + 2 * j] & 15) << 4) |
+                                    (rs[24 + 2 * j + 1] & 15));
+      ++ns;
+    }
+    if (any_hi) {
+      hrows[nh] = static_cast<int32_t>(row_offset + r);
+      uint8_t* hm = hmask + nh * 8;
+      for (int64_t b = 0; b < 8; ++b) {
+        uint8_t bitsv = 0;
+        for (int64_t i = 0; i < 8; ++i)
+          bitsv |= static_cast<uint8_t>((rs[b * 8 + i] >= 16) ? (1u << i)
+                                                              : 0u);
+        hm[b] = bitsv;
+      }
+      ++nh;
+    }
+  }
+  *ns_out = ns;
+  *nh_out = nh;
+  return 0;
 }
 
 }  // extern "C"

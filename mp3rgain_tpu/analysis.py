@@ -132,7 +132,8 @@ def _analyze_mp3_on_device(path, dtype):
     )
 
     if device_entropy_enabled():
-        u = frontend.unpack_file_light(path)
+        with open(path, "rb") as f:
+            u = frontend.unpack_data_light_packed(f.read())
         if u.n == 0:
             raise AnalysisError("No valid MP3 frames found")
         sr, nch = u.sample_rate, u.n_channels

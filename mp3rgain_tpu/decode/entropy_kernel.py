@@ -806,10 +806,19 @@ def prepare_batch(md, meta, quantize_nb: bool = False,
     # Sort lanes by estimated steps so each block's dynamic bound is
     # tight; tie-break by window bits so each block's ragged capacity is
     # tight too (measured: -14% stream-buffer bytes at identical step
-    # bounds on the 64x60s bench batch).
-    order = np.lexsort((bits, est)).astype(np.int32)
+    # bounds on the 64x60s bench batch). Native stable counting sort:
+    # np.lexsort on the same keys measured ~95 ms per 786k-lane batch
+    # (~30% of host prep); the key range is tiny (est <= 288, bits <=
+    # 4103), so O(n) counting beats comparison sorting by ~20x.
+    order = np.empty(npad, dtype=np.int32)
     inv = np.empty(npad, dtype=np.int32)
-    inv[order] = np.arange(npad, dtype=np.int32)
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    _lib.mg_sort_est_bits(
+        est.ctypes.data_as(i32p_),
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(npad),
+        order.ctypes.data_as(i32p_), inv.ctypes.data_as(i32p_),
+    )
 
     bvp_s = bvp[order].reshape(nb, LANES)
     quads_s = quads[order].reshape(nb, LANES)

@@ -218,6 +218,26 @@ _lib.mg_mp3_unpack_light.argtypes = [
     ctypes.c_int64,
 ]
 
+_lib.mg_mp3_count_gch.restype = ctypes.c_int64
+_lib.mg_mp3_count_gch.argtypes = [_u8p, ctypes.c_size_t]
+
+_lib.mg_mp3_unpack_light2.restype = ctypes.c_int64
+_lib.mg_mp3_unpack_light2.argtypes = [
+    _u8p,
+    ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_uint16),
+    _u8p,
+    ctypes.POINTER(ctypes.c_int32),
+    _u8p,
+    ctypes.POINTER(ctypes.c_int32),
+    _u8p,
+    _u8p,
+    ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int32),
+    ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int32),
+]
+
 
 @dataclass
 class UnpackedMp3Light:
@@ -243,6 +263,74 @@ class UnpackedMp3Light:
     @property
     def n_channels(self) -> int:
         return int(self.info[0, NCHANNELS]) if self.n else 0
+
+
+@dataclass
+class UnpackedMp3LightPacked:
+    """Raw-bits manifest in the TRANSFER form: the batch prep copies
+    these rows into the device payload verbatim (no per-track repack).
+    Emitting this form straight from the native walk cuts the walk's
+    write traffic ~4x vs the dense int32 info/scf rows — the light walk
+    is write-bound (measured ~3 ms -> ~1.5 ms per 60 s track).
+
+    Duck-compatible with UnpackedMp3Light where the batch/scan paths
+    care: n, sample_rate, n_channels, md, meta."""
+
+    ip: np.ndarray  # (n, IP_N) uint16 packed info words
+    scf_main: np.ndarray  # (n, SCF_MAIN_BYTES) uint8 low nibbles
+    srows: np.ndarray  # (ns,) int32 track-local short-window rows
+    sdata: np.ndarray  # (ns, SCF_SIDE_BYTES) uint8
+    hrows: np.ndarray  # (nh,) int32 track-local high-bit rows
+    hmask: np.ndarray  # (nh, SCF_HI_BYTES) uint8
+    md: np.ndarray  # (n, MD_STRIDE) uint8 Huffman windows
+    meta: np.ndarray  # (n, LIGHT_META_N) int32
+    sample_rate: int
+    n_channels: int
+
+    @property
+    def n(self) -> int:
+        return self.ip.shape[0]
+
+
+def unpack_data_light_packed(data: bytes) -> UnpackedMp3LightPacked:
+    """Native light walk emitting the transfer-packed manifest directly
+    (mg_mp3_unpack_light2); bit-identical to pack_info_light +
+    pack_scf_rows over unpack_data_light's dense output.
+
+    Buffers are EXACT-size via a native count pre-pass
+    (mg_mp3_count_gch, same frame-acceptance walk): the len/40
+    worst-case guess over-allocated ~4x on typical content, and a
+    64-track scan wave of those fresh multi-MB mmaps was the dominant
+    walk cost on page-fault-slow hosts."""
+    cap = max(1, int(_lib.mg_mp3_count_gch(_inbuf(data), len(data))))
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ip = np.empty((cap, IP_N), dtype=np.uint16)
+    scf_main = np.empty((cap, SCF_MAIN_BYTES), dtype=np.uint8)
+    srows = np.empty(cap, dtype=np.int32)
+    sdata = np.empty((cap, SCF_SIDE_BYTES), dtype=np.uint8)
+    hrows = np.empty(cap, dtype=np.int32)
+    hmask = np.empty((cap, SCF_HI_BYTES), dtype=np.uint8)
+    md = np.empty((cap, MD_STRIDE), dtype=np.uint8)
+    meta = np.empty((cap, LIGHT_META_N), dtype=np.int32)
+    hdr = np.zeros(4, dtype=np.int32)
+    n = _lib.mg_mp3_unpack_light2(
+        _inbuf(data), len(data),
+        ip.ctypes.data_as(u16p), scf_main.ctypes.data_as(_u8p),
+        srows.ctypes.data_as(i32p), sdata.ctypes.data_as(_u8p),
+        hrows.ctypes.data_as(i32p), hmask.ctypes.data_as(_u8p),
+        md.ctypes.data_as(_u8p), MD_STRIDE,
+        meta.ctypes.data_as(i32p), cap, hdr.ctypes.data_as(i32p),
+    )
+    assert n <= cap, (n, cap)  # count walks the same acceptance logic
+    ns, nh = int(hdr[2]), int(hdr[3])
+    return UnpackedMp3LightPacked(
+        ip=ip[:n], scf_main=scf_main[:n],
+        srows=srows[:ns].copy(), sdata=sdata[:ns].copy(),
+        hrows=hrows[:nh].copy(), hmask=hmask[:nh].copy(),
+        md=md[:n], meta=meta[:n],
+        sample_rate=int(hdr[0]), n_channels=int(hdr[1]),
+    )
 
 
 def unpack_data_light(data: bytes) -> UnpackedMp3Light:

@@ -535,27 +535,65 @@ def prepare_batch_arrays_light(
     # scalefactors travel as the flat split form (fe.pack_scf_rows).
     info = bufpool.take_zeroed((npad, fe.IP_N), np.uint16)
     scf = bufpool.take_zeroed((npad, fe.SCF_MAIN_BYTES), np.uint8)
-    # Per-track fills, deliberately NOT vectorized over the batch: the
-    # batched variant (one pack over the track concatenation) allocates
-    # ~400 MB of fresh temporaries per batch and measured 3x SLOWER on
-    # this VM class, where first-touch page faults dominate big fresh
-    # allocations; the small per-track temporaries recycle in glibc
-    # fast bins instead.
+    # Per-track fills in ONE native pass each (mg_pack_light_track):
+    # the equivalent small-numpy-op chain (pack_info_light +
+    # pack_scf_rows per track) measured ~160 ms per 64x60s batch, ~45%
+    # of the whole host prep. The sideband scratch is sized to the
+    # largest track and reused; only the filled rows are copied out.
+    import ctypes
+
+    from ..native import _lib
+
     side_rows: list = []
     side_data: list = []
     hi_rows: list = []
     hi_data: list = []
+    cap = max((u.n for u in unpacked), default=1) or 1
+    srow_t = np.empty(cap, np.int32)
+    sdata_t = np.empty((cap, fe.SCF_SIDE_BYTES), np.uint8)
+    hrow_t = np.empty(cap, np.int32)
+    hmask_t = np.empty((cap, fe.SCF_HI_BYTES), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ns_c = ctypes.c_int64()
+    nh_c = ctypes.c_int64()
     off = 0
     for u in unpacked:
-        info[off : off + u.n] = fe.pack_info_light(u.info)
-        main, rows, side, hrows_t, hmask_t = fe.pack_scf_rows(u.scf)
-        scf[off : off + u.n] = main
-        if len(rows):
-            side_rows.append(rows + off)
-            side_data.append(side)
-        if len(hrows_t):
-            hi_rows.append(hrows_t + off)
-            hi_data.append(hmask_t)
+        if not u.n:
+            continue
+        if hasattr(u, "ip"):
+            # Packed walk (fe.unpack_data_light_packed): the rows ARE
+            # the transfer form — plain row copies, no repack at all.
+            info[off : off + u.n] = u.ip
+            scf[off : off + u.n] = u.scf_main
+            if len(u.srows):
+                side_rows.append(u.srows + off)
+                side_data.append(u.sdata)
+            if len(u.hrows):
+                hi_rows.append(u.hrows + off)
+                hi_data.append(u.hmask)
+            off += u.n
+            continue
+        tinfo = np.ascontiguousarray(u.info, dtype=np.int32)
+        tscf = np.ascontiguousarray(u.scf, dtype=np.int32)
+        rc = _lib.mg_pack_light_track(
+            tinfo.ctypes.data_as(i32p), tscf.ctypes.data_as(i32p),
+            ctypes.c_int64(u.n),
+            info[off:].ctypes.data_as(u16p),
+            scf[off:].ctypes.data_as(u8p),
+            srow_t.ctypes.data_as(i32p), sdata_t.ctypes.data_as(u8p),
+            hrow_t.ctypes.data_as(i32p), hmask_t.ctypes.data_as(u8p),
+            ctypes.c_int64(off), ctypes.byref(ns_c), ctypes.byref(nh_c),
+        )
+        if rc != 0:
+            raise ValueError("scalefactor slot exceeds 5 bits")
+        if ns_c.value:
+            side_rows.append(srow_t[: ns_c.value].copy())
+            side_data.append(sdata_t[: ns_c.value].copy())
+        if nh_c.value:
+            hi_rows.append(hrow_t[: nh_c.value].copy())
+            hi_data.append(hmask_t[: nh_c.value].copy())
         off += u.n
 
     def _sideband(rows_l, data_l, width, force, base):
@@ -1238,7 +1276,14 @@ def analyze_library(
     # With device_entropy the host stage is the ~14x cheaper light walk
     # (side info + scalefactors only) and Huffman decode runs on-chip.
     def _unpack(path):
-        u = (fe.unpack_file_light if device_entropy else fe.unpack_file)(path)
+        if device_entropy:
+            # Packed-emission walk: rows land in the transfer form, so
+            # the batch prep is pure row copies (~4x less walk write
+            # traffic than the dense light form).
+            with open(path, "rb") as f:
+                u = fe.unpack_data_light_packed(f.read())
+        else:
+            u = fe.unpack_file(path)
         if u.n == 0:
             raise RuntimeError("No valid MP3 frames found")
         return u
