@@ -510,6 +510,18 @@ def run(opts: Options) -> int:
             _err("no audio files found (MP3/M4A)")
             return 1
 
+    # Multi-host (DCN) scans: when launched inside a jax.distributed
+    # process group (MP3RGAIN_COORDINATOR / _NUM_PROCESSES /
+    # _PROCESS_ID on every host), each process works its round-robin
+    # slice of the list; album analysis reduces globally over DCN
+    # (scan.album_union) so all processes apply identical album steps.
+    from .parallel import multihost
+
+    if multihost.maybe_initialize_from_env():
+        opts.files = multihost.process_slice(opts.files)
+        if not opts.files:
+            return 0  # fewer files than processes: empty slice, clean exit
+
     if opts.assume_mpeg2 and not opts.quiet and opts.output_format == OutputFormat.TEXT:
         print(
             f"{colorize('note', Color.CYAN, stream=sys.stderr)}: -f (assume MPEG2) "
@@ -895,6 +907,14 @@ def _use_batch(files: list[Path], opts: Options) -> bool:
     if opts.batch_mode == "never":
         return False
     if opts.batch_mode == "always":
+        return True
+    from .parallel import multihost
+
+    if multihost.is_multihost():
+        # Distributed runs must take the batch path: only its album
+        # union performs the cross-host DCN reduction
+        # (scan.album_union); the non-batch analyze_album would compute
+        # a process-local album gain.
         return True
     return len(files) >= BATCH_THRESHOLD
 

@@ -64,10 +64,17 @@ def _histogram_jit(filtered, valid_len, win: int):
     val = STEPS_PER_DB * 10.0 * jnp.log10(ms + 1e-37)
     bin_idx = val.astype(jnp.int32) + HISTOGRAM_OFFSET  # trunc toward zero
     ok = (totsamp > 0) & (bin_idx >= 0) & (bin_idx < HISTOGRAM_SIZE)
-    bin_clamped = jnp.clip(bin_idx, 0, HISTOGRAM_SIZE - 1)
 
-    hist = jnp.zeros((b, HISTOGRAM_SIZE), dtype=jnp.int32)
-    hist = hist.at[jnp.arange(b)[:, None], bin_clamped].add(ok.astype(jnp.int32))
+    # Compare-reduce instead of scatter-add: XLA fuses the
+    # (B, n_win, 12000) equality compare straight into the sum (nothing
+    # materializes), and TPU scatter lowering measured ~56x slower on
+    # the 64x60s batch shape (2,050 ms vs 36 ms standalone). Dropped
+    # windows compare against -1 and land nowhere.
+    bsel = jnp.where(ok, bin_idx, -1)
+    iota = jnp.arange(HISTOGRAM_SIZE, dtype=jnp.int32)
+    hist = jnp.sum(
+        (bsel[:, :, None] == iota[None, None, :]).astype(jnp.int32), axis=1
+    )
     return hist
 
 

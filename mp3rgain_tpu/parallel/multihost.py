@@ -78,6 +78,28 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
+def maybe_initialize_from_env() -> bool:
+    """Join a process group from the MP3RGAIN_COORDINATOR /
+    MP3RGAIN_NUM_PROCESSES / MP3RGAIN_PROCESS_ID environment (TPU knobs
+    stay out of the mp3gain short-flag namespace, SURVEY.md §5).
+    Returns True when a >1-process group is (now) active.
+
+    Distributed CLI semantics: launch the same mp3rgain command on every
+    host with a distinct MP3RGAIN_PROCESS_ID; each process analyzes and
+    rewrites its round-robin slice of the file list and prints results
+    for that slice; album gain is reduced globally over DCN
+    (scan.album_union), so every process applies the identical steps.
+    """
+    import os
+
+    coord = os.environ.get("MP3RGAIN_COORDINATOR")
+    nprocs = int(os.environ.get("MP3RGAIN_NUM_PROCESSES", "0") or 0)
+    pid = os.environ.get("MP3RGAIN_PROCESS_ID")
+    if coord and nprocs > 1 and pid is not None:
+        initialize(coord, nprocs, int(pid))
+    return is_multihost()
+
+
 def process_slice(items: list) -> list:
     """This process's round-robin shard of a global work list.
 

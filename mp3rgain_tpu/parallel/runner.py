@@ -762,7 +762,15 @@ class MeshRunner:
     def __init__(self, mesh: Mesh | None = None, dtype=jnp.float32,
                  max_batch: int = 64):
         if mesh is None:
-            devices = np.array(jax.devices())
+            # LOCAL devices: in a multi-host jax.distributed group each
+            # process analyzes its own track slice (tracks are
+            # independent); a global default mesh would turn every
+            # batch into a cross-host collective with per-process
+            # shapes (they diverge — different files, different g_max)
+            # and crash the transport. The one cross-host reduction is
+            # the album union (parallel/multihost.album_union_global).
+            # Single-process: local == global, no behavior change.
+            devices = np.array(jax.local_devices())
             mesh = Mesh(devices, axis_names=("dp",))
         self.mesh = mesh
         self.dtype = dtype

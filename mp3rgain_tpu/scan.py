@@ -430,7 +430,12 @@ def _scan_aac(paths, out: ScanResult, manifest: Manifest, progress_cb):
 
 
 def album_union(scan: ScanResult, paths) -> tuple[float, float, float]:
-    """(album_loudness, album_gain, album_peak) from per-track histograms."""
+    """(album_loudness, album_gain, album_peak) from per-track histograms.
+
+    Inside a jax.distributed process group (MP3RGAIN_COORDINATOR et al.,
+    parallel/multihost.py) each process passes only ITS slice of the
+    album; the local union is then psum/pmax-reduced over DCN so every
+    process computes the identical global album gain."""
     total = np.zeros(hi.HISTOGRAM_SIZE, dtype=np.uint64)
     peak = 0.0
     for p in paths:
@@ -440,5 +445,9 @@ def album_union(scan: ScanResult, paths) -> tuple[float, float, float]:
             continue
         total += hist.astype(np.uint64)
         peak = max(peak, res.peak)
+    from .parallel import multihost
+
+    if multihost.is_multihost():
+        total, peak = multihost.album_union_global(total, peak)
     loud = hi.loudness_from_histogram(total)
     return loud, PINK_REF - loud, peak
