@@ -1194,7 +1194,25 @@ void mg_entropy_pack4(const uint64_t* md_rows, const uint64_t* meta_rows,
         }
       }
       (void)meta_n;
-      for (int64_t k = 0; k < words; ++k) {
+      // Split the word range at the subgroup's min extent: below it
+      // every lane is active (branch-free gather+bswap the compiler
+      // can vectorize), above it the per-lane mask applies. Lanes are
+      // sorted by window bits within the subgroup, so min tracks the
+      // mean closely and most iterations take the branch-free form.
+      int32_t min_rown = rown[0];
+      for (int64_t li = 1; li < subg; ++li) {
+        if (rown[li] < min_rown) min_rown = rown[li];
+      }
+      int64_t k = 0;
+      for (; k < min_rown; ++k) {
+        int32_t* out = bb + k * subg;
+        for (int64_t li = 0; li < subg; ++li) {
+          uint32_t w;
+          memcpy(&w, rowp[li] + k, 4);
+          out[li] = static_cast<int32_t>(__builtin_bswap32(w));
+        }
+      }
+      for (; k < words; ++k) {
         int32_t* out = bb + k * subg;
         for (int64_t li = 0; li < subg; ++li) {
           if (k < rown[li]) {
