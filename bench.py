@@ -137,18 +137,19 @@ def main() -> None:
         # actually pays per batch — no first-touch page faults).
         from mp3rgain_tpu.utils import bufpool
 
-        # Two warm-up rounds: round 1 faults the pooled buffers' pages,
+        # Warm-up rounds: round 1 faults the pooled buffers' pages,
         # round 2 lets glibc's dynamic mmap threshold adapt for the
-        # non-pooled temporaries. Round 3+ is what a scan pays per batch.
+        # non-pooled temporaries; rounds 3+ are what a scan pays per
+        # batch (steady-state floor = min over the warm rounds).
         prep_dt = None
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.monotonic()
             prep, rest, g_max = prepare_batch_arrays_light(
                 [u_light] * BATCH_TRACKS, nch, 1
             )
             dt = time.monotonic() - t0
             prep_dt = dt if prep_dt is None else min(prep_dt, dt)
-            if _ < 2:
+            if _ < 4:
                 bufpool.give(prep.buf, prep.meta, rest[1], rest[6])
                 del prep, rest
         args = (prep.scalars, prep.buf, prep.meta, prep.inv) + rest

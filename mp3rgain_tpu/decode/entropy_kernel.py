@@ -141,8 +141,13 @@ def _cap(value, caps):
 # up to 16 keys/octave is affordable — the earlier 1.25-geometric ladder
 # padded the 64x60s bench batch by 22 MB).
 def _quantize_g(groups: int) -> int:
+    # 1/32nd granularity (~3% worst-case pad): g_pad is ~80% of the h2d
+    # payload, and the scan planner pins one g_pad per length class
+    # anyway (force_shapes), so finer steps don't multiply the compiled
+    # executables where volume lives. The entropy program this keys is
+    # the small fast-compiling one (two-dispatch split, round-3 notes).
     v = max(int(groups), 32)
-    unit = max(32, 1 << max((v - 1).bit_length() - 4, 5))
+    unit = max(32, 1 << max((v - 1).bit_length() - 5, 5))
     return -(-v // unit) * unit
 
 
