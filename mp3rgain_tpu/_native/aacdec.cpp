@@ -32,7 +32,7 @@ struct AacTiming {
     const char* e = getenv("MP3RGAIN_AAC_TIME");
     return e && e[0] && e[0] != '0';
   }();
-  double reset = 0, huff = 0, requant = 0, post = 0, total = 0;
+  double reset = 0, huff = 0, requant = 0, post = 0, emit = 0, total = 0;
   static double now() {
     timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -41,11 +41,12 @@ struct AacTiming {
   void dump() {
     fprintf(stderr,
             "aac host stages: reset %.1f ms, huffman+parse %.1f ms, "
-            "requant %.1f ms, pns/stereo/tns %.1f ms, other %.1f ms "
-            "(total %.1f ms)\n",
-            reset * 1e3, huff * 1e3, requant * 1e3, post * 1e3,
-            (total - reset - huff - requant - post) * 1e3, total * 1e3);
-    reset = huff = requant = post = total = 0;
+            "requant %.1f ms, pns/stereo/tns %.1f ms, emit %.1f ms, "
+            "other %.1f ms (total %.1f ms)\n",
+            reset * 1e3, huff * 1e3, requant * 1e3, post * 1e3, emit * 1e3,
+            (total - reset - huff - requant - post - emit) * 1e3,
+            total * 1e3);
+    reset = huff = requant = post = emit = total = 0;
   }
 };
 AacTiming g_aac_timing;
@@ -1109,6 +1110,7 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
       if (g_aac_timing.enabled) g_aac_timing.post += AacTiming::now() - tq0;
     }
 
+    const double te0 = g_aac_timing.enabled ? AacTiming::now() : 0;
     for (int c = 0; c < out_ch; ++c) {
       Channel& ch = chans[c];
       const int64_t rec = n_out++;
@@ -1217,6 +1219,7 @@ static int64_t unpack_adts_impl(const uint8_t* data, size_t len,
                 (frame_fb && ok ? 32 : 0);  // diagnostics + fb routing
       }
     }
+    if (g_aac_timing.enabled) g_aac_timing.emit += AacTiming::now() - te0;
     ++frame_idx;
     pos += full_len;
   }
