@@ -298,11 +298,14 @@ def _bench_scan(tracks: int = 128, passes: int = 3) -> dict:
     timed passes. 128 tracks = 2 batches, so the scan's uploader-thread
     pipeline (pack+h2d of batch k+1 under compute of batch k) is
     exercised while the whole bench stays inside the process's ~1.7 GB
-    fast-transfer budget (NOTES.md token bucket — beyond it every pass
-    crawls at the drained rate and measures the throttle, not the code). Reports the per-pass rates and their MEDIAN — not
-    best-of-N — as scan_steady_x. The corpus (mixed-length 44.1 kHz
-    joint-stereo tracks, one batch bucket) is generated once and cached
-    under /tmp keyed by a version marker."""
+    fast-transfer budget (NOTES.md token bucket — a 256-track variant
+    measured WORSE, 415-655x vs 1,068-1,239x, because the extra 1.5 GB
+    of transfers drains the bucket; conversely a standalone 1,000-track
+    scan amortizes its pipeline-fill latency to 1,659x —
+    tools/bench_scan.py is the scale benchmark). Reports the per-pass
+    rates and their MEDIAN — not best-of-N — as scan_steady_x. The
+    corpus (mixed-length 44.1 kHz joint-stereo tracks, one batch bucket)
+    is generated once and cached under /tmp keyed by a version marker."""
     from pathlib import Path
 
     from mp3rgain_tpu.parallel.runner import MeshRunner, analyze_library
