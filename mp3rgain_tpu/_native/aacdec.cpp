@@ -430,7 +430,16 @@ bool parse_scale_factor_data(BitReader* br, Channel* ch) {
         if (sf < 0 || sf > 255) return false;
         // 2^-15: normalized float output convention (int16 full scale
         // maps to 1.0), matching the reference decoder's float path.
-        ch->sf[g][k] = pow(2.0, 0.25 * (sf - 100) - 15.0);
+        // sf is range-checked to 0..255, so the gain comes from a
+        // once-built table (a pow() per coded band was ~5% of the
+        // host front-end).
+        static const double* kSfGain = [] {
+          static double t[256];
+          for (int s = 0; s < 256; ++s)
+            t[s] = pow(2.0, 0.25 * (s - 100) - 15.0);
+          return t;
+        }();
+        ch->sf[g][k] = kSfGain[sf];
         ch->sf_int[g][k] = sf;
       }
     }
