@@ -515,12 +515,15 @@ def run(opts: Options) -> int:
     # _PROCESS_ID on every host), each process works its round-robin
     # slice of the list; album analysis reduces globally over DCN
     # (scan.album_union) so all processes apply identical album steps.
-    from .parallel import multihost
+    # Env-gated import: the module pulls in jax, which the pure host
+    # byte-surgery commands (-g/-l/-u/...) must not pay for.
+    if os.environ.get("MP3RGAIN_COORDINATOR"):
+        from .parallel import multihost
 
-    if multihost.maybe_initialize_from_env():
-        opts.files = multihost.process_slice(opts.files)
-        if not opts.files:
-            return 0  # fewer files than processes: empty slice, clean exit
+        if multihost.maybe_initialize_from_env():
+            opts.files = multihost.process_slice(opts.files)
+            if not opts.files:
+                return 0  # fewer files than processes: empty slice
 
     if opts.assume_mpeg2 and not opts.quiet and opts.output_format == OutputFormat.TEXT:
         print(

@@ -41,9 +41,10 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+# jax imports are deferred into the functions: scan.album_union and
+# cli._use_batch probe is_multihost() on paths that must stay cheap for
+# pure host byte-surgery commands, and importing this module must not
+# drag the jax runtime in.
 
 _initialized = False
 
@@ -56,6 +57,8 @@ def initialize(coordinator_address: str, num_processes: int,
     CPU platform the gloo TCP collectives implementation is selected
     (the pure-XLA CPU backend has no cross-process collectives).
     """
+    import jax
+
     global _initialized
     if _initialized:
         return
@@ -75,6 +78,15 @@ def initialize(coordinator_address: str, num_processes: int,
 
 def is_multihost() -> bool:
     """True when running inside a >1-process jax.distributed group."""
+    import sys
+
+    if not _initialized and "jax" not in sys.modules:
+        # Cheap probe: host-only CLI paths (-g/-l/-u/...) call this and
+        # must not pay a jax import; a process group can't exist in a
+        # process that never imported jax.
+        return False
+    import jax
+
     return jax.process_count() > 1
 
 
@@ -105,21 +117,33 @@ def process_slice(items: list) -> list:
 
     Round-robin (not contiguous blocks) so that length-sorted corpora
     spread long and short tracks evenly across hosts."""
+    import jax
+
     return list(items[jax.process_index()::jax.process_count()])
 
 
-def local_mesh() -> Mesh:
+def local_mesh():
     """A dp mesh over this process's local devices only (for the
     per-track analysis pipeline, which never communicates cross-host)."""
+    import jax
+    from jax.sharding import Mesh
+
     return Mesh(np.array(jax.local_devices()), axis_names=("dp",))
 
 
-def global_mesh() -> Mesh:
+def global_mesh():
     """The 1-D dp mesh over every device of every process."""
+    import jax
+    from jax.sharding import Mesh
+
     return Mesh(np.array(jax.devices()), axis_names=("dp",))
 
 
-def _union_fn(mesh: Mesh):
+def _union_fn(mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
     @jax.jit
     def fn(hist, peak):
         # Every device ends up holding the full reduction (its output
@@ -151,6 +175,9 @@ def album_union_global(local_hist: np.ndarray, local_peak: float):
     device row 0 (zeros elsewhere), then one shard_map psum/pmax over
     the global dp mesh — the only DCN collective in the framework.
     """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     mesh = global_mesh()
     k = len(jax.local_devices())
     n_global = mesh.devices.size
